@@ -1,0 +1,206 @@
+"""HTML → text extraction + page parsing (the Arrow-batched hot path).
+
+The reference consumes pre-extracted documents from Elasticsearch (its
+extractor is upstream Datashare/Tika). Our engine owns this stage: a
+deterministic HTML text extractor whose output is the **hard per-row
+invariant** — byte-identical text per url across runs, partitionings,
+and parallelism levels (BASELINE.json:15).
+
+Extractor spec (deterministic, stdlib-only):
+  * parse with html.parser, convert_charrefs=True
+  * drop <head>, <script>, <style> content entirely
+  * every text node inside <body> is stripped; non-empty nodes are
+    joined with a single "\\n"
+
+Page parsing also recovers document fields and inline mention
+annotations from ``<meta name="ds:...">`` / ``<span class="ne" ...>``
+markup (the fixture generator's carrier for reference-corpus parity —
+mirrors how the reference receives documents + named entities as two
+pre-extracted ES hit streams, reference
+neo4j-app/neo4j_app/core/elasticsearch/to_neo4j.py:53-67,185-193).
+
+Everything runs in ``mapInPandas`` — one parse per page, one pass, no
+per-row Python UDF round trips; the output carries mentions as an
+array column so a single scan feeds both the document and the mention
+streams (explode later, after the cheap filter).
+"""
+
+from __future__ import annotations
+
+import json
+from html.parser import HTMLParser
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SKIP_TAGS = {"script", "style", "head"}
+
+
+class _Extractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[str] = []
+        self._skip_depth = 0
+        self.metas: dict[str, str] = {}
+        self.mentions: list[dict] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+        if tag == "meta":
+            d = dict(attrs)
+            name = d.get("name", "")
+            if name.startswith("ds:"):
+                self.metas[name[3:]] = d.get("content", "")
+        elif tag == "span":
+            d = dict(attrs)
+            if d.get("class") == "ne":
+                self.mentions.append(d)
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+        if tag in _SKIP_TAGS:
+            self._skip_depth -= 1
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data):
+        if self._skip_depth:
+            return
+        data = data.strip()
+        if data:
+            self.blocks.append(data)
+
+
+def extract_text(html_bytes: bytes | None) -> str | None:
+    """Driver-side twin of the extraction UDF (goldens/tests)."""
+    if html_bytes is None:
+        return None
+    p = _Extractor()
+    p.feed(html_bytes.decode("utf-8", errors="replace"))
+    return "\n".join(p.blocks)
+
+
+_MENTION_STRUCT = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("category", T.StringType()),
+        T.StructField("mention", T.StringType()),
+        T.StructField("mentionNorm", T.StringType()),
+        T.StructField("extractor", T.StringType()),
+        T.StructField("extractorLanguage", T.StringType()),
+        T.StructField("offsets", T.ArrayType(T.LongType())),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+PARSED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("id", T.StringType()),
+        T.StructField("rootDocument", T.StringType()),
+        T.StructField("dirname", T.StringType()),
+        T.StructField("contentType", T.StringType()),
+        T.StructField("contentLength", T.LongType()),
+        T.StructField("extractionDate", T.StringType()),
+        T.StructField("extractionLevel", T.LongType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("ann_mentions", T.ArrayType(_MENTION_STRUCT)),
+    ]
+)
+
+
+def _parse_one(url, warc_ts, html, text, lang) -> dict:
+    p = _Extractor()
+    raw = html.decode("utf-8", errors="replace") if html is not None else ""
+    p.feed(raw)
+    extracted = "\n".join(p.blocks)
+    if text is not None and not (isinstance(text, float) and pd.isna(text)):
+        extracted = text  # extraction skipped when text already populated
+    m = p.metas
+    path = m.get("path") or url.split("://", 1)[-1]
+    doc_meta = {k[5:]: v for k, v in m.items() if k.startswith("meta:")}
+    mentions = []
+    for sp in p.mentions:
+        offs = [int(o) for o in sp.get("data-offsets", "").split(";") if o != ""]
+        md = json.loads(sp["data-metadata"]) if "data-metadata" in sp else None
+        mentions.append(
+            {
+                "id": sp.get("data-id"),
+                "category": sp.get("data-category"),
+                "mention": sp.get("data-mention", sp.get("data-id")),
+                "mentionNorm": sp.get("data-norm"),
+                "extractor": sp.get("data-extractor"),
+                "extractorLanguage": sp.get("data-lang", "en"),
+                "offsets": offs,
+                "metadata": md,
+            }
+        )
+    return {
+        "url": url,
+        "warc_ts": warc_ts,
+        "lang": lang,
+        "text": extracted,
+        "id": m.get("id") or url,
+        "rootDocument": m.get("root") or None,
+        "dirname": m.get("dirname") or path.rsplit("/", 1)[0],
+        "contentType": m.get("contentType") or "text/html",
+        "contentLength": int(m["contentLength"])
+        if "contentLength" in m
+        else (len(html) if html is not None else 0),
+        "extractionDate": m.get("extractionDate")
+        or (warc_ts.isoformat() if warc_ts is not None else None),
+        "extractionLevel": int(m.get("extractionLevel", "0")),
+        "path": path,
+        "title": m.get("title") or None,
+        "metadata": doc_meta or None,
+        "ann_mentions": mentions,
+    }
+
+
+def parse_pages(pages: DataFrame) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → parsed document rows.
+
+    One mapInPandas pass: text extraction + ds: metadata + inline
+    mention annotations. Column pruning still applies upstream (the
+    scan reads only the 5 page columns); downstream consumers select
+    subsets of PARSED_SCHEMA.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                _parse_one(u, ts, h, tx, lg)
+                for u, ts, h, tx, lg in zip(
+                    pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"], pdf["lang"]
+                )
+            ]
+            yield pd.DataFrame(rows)
+
+    return pages.mapInPandas(run, PARSED_SCHEMA)
+
+
+def with_extracted_text(pages: DataFrame) -> DataFrame:
+    """Minimal variant: fill the text column only (byte-identical rule).
+
+    Keeps the page schema; used by the invariant tests and by callers
+    that don't need document parsing.
+    """
+
+    @F.pandas_udf("string")
+    def _extract(html: pd.Series) -> pd.Series:
+        return html.map(extract_text)
+
+    return pages.withColumn(
+        "text", F.coalesce(F.col("text"), _extract(F.col("html")))
+    )

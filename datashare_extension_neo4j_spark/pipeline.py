@@ -1,0 +1,88 @@
+"""End-to-end KG construction pipeline (SURVEY.md §3.1/§3.2 reshaped
+Spark-first).
+
+  pages ──parse(mapInPandas)──▶ parsed ──┬─▶ doc nodes ─▶ HAS_PARENT
+                                         ├─▶ annotated mentions ┐
+                                         └─▶ rule-based NER ────┤
+                                                                ▼
+                     entities (dedup) + APPEARS_IN / SENT / RECEIVED
+
+The reference's 5-phase async dance (sliced ES scans → bounded queues
+→ single-writer MERGE, core/imports.py:147-316,582-737) collapses into
+one declarative DAG: slicing = input partitions, backpressure = Spark
+pipelining, the streaming sort-agg = hash aggregation with spill.
+
+The parsed frame is the only thing worth caching (three consumers);
+mention union is by name; the doc-id semi-join (J1, reference
+imports.py:829-871) keeps mentions whose host document exists — at web
+scale this is a shuffle-free broadcast when the doc-id side is small,
+else AQE picks the strategy.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .operators.documents import doc_nodes, has_parent_edges
+from .operators.edges import appears_in_edges, email_edges
+from .operators.entities import entity_nodes
+from .operators.extract import parse_pages
+from .operators.ner import annotated_mentions, rule_based_mentions
+
+
+@dataclass
+class GraphBuild:
+    docs: DataFrame
+    doc_roots: DataFrame
+    mentions: DataFrame
+    entities: DataFrame
+    appears_in: DataFrame
+    emails: DataFrame
+    counters: dict = field(default_factory=dict)
+
+    def unpersist(self) -> None:
+        for df in (self.docs, self.mentions):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
+def build_graph(
+    pages: DataFrame,
+    project: str = "test_project",
+    use_rule_ner: bool = False,
+    salted: bool = False,
+    semi_join_docs: bool = True,
+    cache: bool = True,
+) -> GraphBuild:
+    parsed = parse_pages(pages)
+    docs = doc_nodes(parsed, project=project)
+    if cache:
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    roots = has_parent_edges(docs)
+    mentions = annotated_mentions(parsed)
+    if use_rule_ner:
+        rb = rule_based_mentions(docs, id_col="id", text_col="text", lang_col="lang")
+        mentions = mentions.unionByName(rb)
+    if semi_join_docs:
+        # J1: restrict mentions to existing documents (left semi).
+        doc_ids = docs.select(F.col("id").alias("documentId"))
+        mentions = mentions.join(doc_ids, "documentId", "left_semi")
+    if cache:
+        mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
+    ents = entity_nodes(mentions)
+    appears = appears_in_edges(mentions, salted=salted)
+    emails = email_edges(mentions)
+    return GraphBuild(
+        docs=docs,
+        doc_roots=roots,
+        mentions=mentions,
+        entities=ents,
+        appears_in=appears,
+        emails=emails,
+    )
