@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: full KG-construction pipeline (pages →
+                 mapInPandas parse/extract → rule NER → entity dedup →
+                 APPEARS_IN triple aggregation) over pages synthesized
+                 from sf0.001 documents.
+queries()      — one entry per implemented operator from SURVEY.md §2
+                 plus the training-data-pipeline extras.
+oracle_sql()   — exactly-equivalent DuckDB SQL per query.
 """
 
 from __future__ import annotations
@@ -16,23 +18,37 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from datashare_extension_neo4j_spark.fixtures import pages_from_documents
+    from datashare_extension_neo4j_spark.pipeline import build_graph
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    g = build_graph(pages, use_rule_ner=True, cache=False)
+    return g.appears_in
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from datashare_extension_neo4j_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: fn for name, (fn, _oracle) in QUERIES.items()
+    }
+
+    # non-SQL-expressible: the full pages pipeline (mapInPandas parse +
+    # regex NER); driver records a rows-only check.
+    def kg_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from datashare_extension_neo4j_spark.fixtures import pages_from_documents
+        from datashare_extension_neo4j_spark.pipeline import build_graph
+
+        g = build_graph(
+            pages_from_documents(spark, sf_dir), use_rule_ner=True, cache=False
+        )
+        return g.appears_in
+
+    out["kg_full_pipeline"] = kg_full_pipeline
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from datashare_extension_neo4j_spark.queries import QUERIES
+
+    return {name: oracle for name, (_fn, oracle) in QUERIES.items()}

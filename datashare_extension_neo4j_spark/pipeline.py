@@ -42,12 +42,13 @@ class GraphBuild:
     entities: DataFrame
     appears_in: DataFrame
     emails: DataFrame
+    parsed: DataFrame | None = None
     counters: dict = field(default_factory=dict)
 
     def unpersist(self) -> None:
-        for df in (self.docs, self.mentions):
+        if self.parsed is not None:
             try:
-                df.unpersist()
+                self.parsed.unpersist()
             except Exception:
                 pass
 
@@ -61,9 +62,11 @@ def build_graph(
     cache: bool = True,
 ) -> GraphBuild:
     parsed = parse_pages(pages)
-    docs = doc_nodes(parsed, project=project)
     if cache:
-        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+        # one persist of the (expensive) Python parse output; docs and
+        # both mention streams are cheap projections over it
+        parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
+    docs = doc_nodes(parsed, project=project)
     roots = has_parent_edges(docs)
     mentions = annotated_mentions(parsed)
     if use_rule_ner:
@@ -73,8 +76,6 @@ def build_graph(
         # J1: restrict mentions to existing documents (left semi).
         doc_ids = docs.select(F.col("id").alias("documentId"))
         mentions = mentions.join(doc_ids, "documentId", "left_semi")
-    if cache:
-        mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
     ents = entity_nodes(mentions)
     appears = appears_in_edges(mentions, salted=salted)
     emails = email_edges(mentions)
@@ -85,4 +86,5 @@ def build_graph(
         entities=ents,
         appears_in=appears,
         emails=emails,
+        parsed=parsed if cache else None,
     )

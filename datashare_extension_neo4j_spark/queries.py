@@ -1,0 +1,955 @@
+"""Driver-contract queries: every operator from SURVEY.md §2 (plus the
+training-data-pipeline extras) as a (spark, sf_dir) → DataFrame
+callable with an exactly-equivalent DuckDB oracle SQL string.
+
+Parity rules (the driver hash-compares values):
+  * every computed column aliased identically on both sides
+  * arrays emitted as '|'-joined sorted strings (no array hashing)
+  * doubles rounded (4-6 dp) before output
+  * hashing via md5/sha256 hex strings — identical across engines
+
+The KG queries re-express the reference's operators over the driver's
+``documents`` table treated as the page corpus: doc ids ``doc-{i}``,
+root chain ``doc-{i - i%5}``, gazetteer mentions from word tokens.
+Reference semantics cited per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .constants import NE_NODE, NEO4J_ARRAY_SPLIT_CHAR
+from .functions.hashing import entity_id
+
+ROOT_STRIDE = 5
+
+# gazetteer shared by the Spark side and the SQL oracles
+GAZETTEER = [
+    ("customer", "PERSON"),
+    ("supplier", "PERSON"),
+    ("spark", "ORGANIZATION"),
+    ("window", "LOCATION"),
+    ("table", "LOCATION"),
+    ("vector", "ORGANIZATION"),
+    ("stream", "LOCATION"),
+    ("batch", "ORGANIZATION"),
+]
+
+GAZ_VALUES_SQL = ", ".join(f"('{w}', '{c}')" for w, c in GAZETTEER)
+
+# ---------------------------------------------------------------- inputs
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+
+def _doc_id() -> F.Column:
+    return F.concat(F.lit("doc-"), F.col("doc_id"))
+
+
+def _root_id() -> F.Column:
+    return F.concat(
+        F.lit("doc-"), (F.col("doc_id") - F.col("doc_id") % ROOT_STRIDE)
+    )
+
+
+def _words(docs: DataFrame) -> DataFrame:
+    """(doc_id, word, pos) token stream — posexplode over a single-space
+    split; mirrors the oracle's unnest + generate_subscripts."""
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"),
+    )
+
+
+def _gazetteer_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(GAZETTEER, "word string, category string")
+
+
+def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer mention stream: word tokens ⋈ (tiny, broadcast)
+    gazetteer; offsets are word positions (P2/P3 analog + §2.7 flatMap)."""
+    w = _words(_docs(spark, sf_dir))
+    g = F.broadcast(_gazetteer_df(spark))
+    return w.join(g, "word").select(
+        F.concat(_doc_id(), F.lit(":"), F.col("pos")).alias("mention_id"),
+        _doc_id().alias("documentId"),
+        F.col("category"),
+        F.col("word").alias("mentionNorm"),
+        F.col("pos").cast("long").alias("offset"),
+    )
+
+
+_MENTIONS_CTE = f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+), m AS (
+  SELECT 'doc-' || w.doc_id || ':' || w.pos AS mention_id,
+         'doc-' || w.doc_id AS documentId,
+         g.category,
+         w.word AS mentionNorm,
+         CAST(w.pos AS BIGINT) AS "offset"
+  FROM w JOIN (VALUES {GAZ_VALUES_SQL}) g(word, category) ON w.word = g.word
+)
+"""
+
+_ENTITY_ID_SQL = (
+    "sha256('(''' || mentionNorm || ''', ''' || category || ''')')"
+)
+
+# ---------------------------------------------------------------- queries
+
+
+def kg_doc_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: document node derivation — rootDocument nulled on self,
+    urlSuffix composition (reference to_neo4j.py:53-67)."""
+    d = _docs(spark, sf_dir)
+    root0 = _root_id()
+    root = F.when(root0 != _doc_id(), root0)
+    return d.select(
+        _doc_id().alias("id"),
+        root.alias("rootDocument"),
+        F.concat(F.lit("dirname-"), F.col("doc_id")).alias("dirname"),
+        F.concat(F.lit("dirname-"), F.col("doc_id")).alias("path"),
+        F.concat(F.lit("dirname-"), F.col("doc_id")).alias("title"),
+        F.col("n_chars").alias("contentLength"),
+        F.concat(
+            F.lit("ds/test_project/"),
+            _doc_id(),
+            F.lit("/"),
+            F.coalesce(root, _doc_id()),
+        ).alias("urlSuffix"),
+        F.col("lang"),
+    )
+
+
+ORACLE_KG_DOC_NODES = f"""
+SELECT 'doc-' || doc_id AS id,
+       CASE WHEN doc_id % {ROOT_STRIDE} != 0
+            THEN 'doc-' || (doc_id - doc_id % {ROOT_STRIDE}) END AS rootDocument,
+       'dirname-' || doc_id AS dirname,
+       'dirname-' || doc_id AS path,
+       'dirname-' || doc_id AS title,
+       n_chars AS contentLength,
+       'ds/test_project/' || 'doc-' || doc_id || '/' ||
+         coalesce(CASE WHEN doc_id % {ROOT_STRIDE} != 0
+                       THEN 'doc-' || (doc_id - doc_id % {ROOT_STRIDE}) END,
+                  'doc-' || doc_id) AS urlSuffix,
+       lang
+FROM documents
+"""
+
+
+def kg_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: HAS_PARENT edges, no self-loops (to_neo4j.py:176-182)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.where(F.col("doc_id") % ROOT_STRIDE != 0)
+        .select(
+            _doc_id().alias("src"),
+            _root_id().alias("dst"),
+            F.lit("HAS_PARENT").alias("type"),
+        )
+    )
+
+
+ORACLE_KG_HAS_PARENT = f"""
+SELECT 'doc-' || doc_id AS src,
+       'doc-' || (doc_id - doc_id % {ROOT_STRIDE}) AS dst,
+       'HAS_PARENT' AS type
+FROM documents WHERE doc_id % {ROOT_STRIDE} != 0
+"""
+
+
+def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mention detection over tokens (§2.7 flatMap analog)."""
+    return _mentions(spark, sf_dir)
+
+
+ORACLE_KG_MENTIONS = _MENTIONS_CTE + "SELECT * FROM m"
+
+
+def kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+J4: entity dedup + sha256 tuple-repr ids + label composition
+    (to_neo4j.py:196-217)."""
+    m = _mentions(spark, sf_dir)
+    return (
+        m.select("mentionNorm", "category")
+        .dropDuplicates(["mentionNorm", "category"])
+        .select(
+            entity_id(F.col("mentionNorm"), F.col("category")).alias("entityId"),
+            "mentionNorm",
+            F.concat(
+                F.lit(NE_NODE), F.lit(NEO4J_ARRAY_SPLIT_CHAR), F.col("category")
+            ).alias("label"),
+        )
+    )
+
+
+ORACLE_KG_ENTITIES = _MENTIONS_CTE + f"""
+SELECT {_ENTITY_ID_SQL} AS entityId,
+       mentionNorm,
+       'NamedEntity|' || category AS label
+FROM (SELECT DISTINCT mentionNorm, category FROM m)
+"""
+
+
+def kg_appears_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/A7: APPEARS_IN aggregation — sorted '|'-joined arrays,
+    mentionCount (imports.py:751-773, to_neo4j.py:266-277)."""
+    m = _mentions(spark, sf_dir)
+    return (
+        m.groupBy("mentionNorm", "category", "documentId")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("mention_id")), NEO4J_ARRAY_SPLIT_CHAR
+            ).alias("mentionIds"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_set("offset")),
+                    lambda x: x.cast("string"),
+                ),
+                NEO4J_ARRAY_SPLIT_CHAR,
+            ).alias("offsets"),
+            F.countDistinct("mention_id").cast("long").alias("mentionCount"),
+        )
+        .select(
+            entity_id(F.col("mentionNorm"), F.col("category")).alias("startId"),
+            F.col("documentId").alias("endId"),
+            F.lit("APPEARS_IN").alias("type"),
+            "mentionNorm",
+            "category",
+            "mentionIds",
+            "offsets",
+            "mentionCount",
+        )
+    )
+
+
+ORACLE_KG_APPEARS_IN = _MENTIONS_CTE + f"""
+SELECT {_ENTITY_ID_SQL} AS startId,
+       documentId AS endId,
+       'APPEARS_IN' AS type,
+       mentionNorm,
+       category,
+       array_to_string(list_sort(list(DISTINCT mention_id)), '|') AS mentionIds,
+       array_to_string(list_transform(list_sort(list(DISTINCT "offset")),
+                                      x -> CAST(x AS VARCHAR)), '|') AS offsets,
+       CAST(count(DISTINCT mention_id) AS BIGINT) AS mentionCount
+FROM m
+GROUP BY mentionNorm, category, documentId
+"""
+
+
+def kg_email_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: SENT/RECEIVED classification by header membership
+    (constants.py:70-76, to_neo4j.py:235-249), deterministic synthetic
+    email per document."""
+    d = _docs(spark, sf_dir)
+    norm = F.concat(F.lit("user"), F.col("doc_id") % 50, F.lit("@example.com"))
+    header = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("tika_metadata_message_from")
+    ).otherwise(F.lit("tika_metadata_message_to"))
+    typ = F.when(F.col("doc_id") % 2 == 0, F.lit("SENT")).otherwise(
+        F.lit("RECEIVED")
+    )
+    return (
+        d.select(
+            norm.alias("mentionNorm"),
+            F.lit("EMAIL").alias("category"),
+            _doc_id().alias("endId"),
+            typ.alias("type"),
+            header.alias("fields"),
+        )
+        .groupBy("mentionNorm", "category", "endId", "type")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("fields")), NEO4J_ARRAY_SPLIT_CHAR
+            ).alias("fields")
+        )
+        .select(
+            entity_id(F.col("mentionNorm"), F.col("category")).alias("startId"),
+            "endId",
+            "type",
+            "fields",
+        )
+    )
+
+
+ORACLE_KG_EMAIL_EDGES = f"""
+WITH e AS (
+  SELECT 'user' || (doc_id % 50) || '@example.com' AS mentionNorm,
+         'EMAIL' AS category,
+         'doc-' || doc_id AS endId,
+         CASE WHEN doc_id % 2 = 0 THEN 'SENT' ELSE 'RECEIVED' END AS type,
+         CASE WHEN doc_id % 2 = 0 THEN 'tika_metadata_message_from'
+              ELSE 'tika_metadata_message_to' END AS fields
+  FROM documents
+)
+SELECT {_ENTITY_ID_SQL} AS startId, endId, type,
+       array_to_string(list_sort(list(DISTINCT fields)), '|') AS fields
+FROM e GROUP BY mentionNorm, category, endId, type
+"""
+
+
+def kg_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: mention ⋉ imported-docs semi-join (imports.py:829-871) —
+    mentions restricted to documents with lang = 'en'."""
+    m = _mentions(spark, sf_dir)
+    d = _docs(spark, sf_dir).where(F.col("lang") == "en").select(
+        _doc_id().alias("documentId")
+    )
+    return m.join(d, "documentId", "left_semi").select(
+        "documentId", "mentionNorm", "category", "offset"
+    )
+
+
+ORACLE_KG_SEMI_JOIN = _MENTIONS_CTE + """
+SELECT documentId, mentionNorm, category, "offset"
+FROM m
+WHERE documentId IN (SELECT 'doc-' || doc_id FROM documents WHERE lang = 'en')
+"""
+
+
+def kg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A8: per-category entity counts + mention totals
+    (graphs.py:168-188, named_entities.py:137-149)."""
+    m = _mentions(spark, sf_dir)
+    return (
+        m.groupBy("category")
+        .agg(
+            F.countDistinct("mentionNorm").cast("long").alias("nEntities"),
+            F.count("*").cast("long").alias("nMentions"),
+            F.countDistinct("documentId").cast("long").alias("nDocuments"),
+        )
+        .select("category", "nEntities", "nMentions", "nDocuments")
+    )
+
+
+ORACLE_KG_STATS = _MENTIONS_CTE + """
+SELECT category,
+       CAST(count(DISTINCT mentionNorm) AS BIGINT) AS nEntities,
+       CAST(count(*) AS BIGINT) AS nMentions,
+       CAST(count(DISTINCT documentId) AS BIGINT) AS nDocuments
+FROM m GROUP BY category
+"""
+
+
+def kg_dump_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O3 + §2.8 default dump: docs ORDER BY path LIMIT k, with
+    their APPEARS_IN degree (graphs.py:40-51, left join edges)."""
+    docs = kg_doc_nodes(spark, sf_dir)
+    deg = (
+        kg_appears_in(spark, sf_dir)
+        .groupBy("endId")
+        .agg(F.count("*").cast("long").alias("nRels"))
+    )
+    return (
+        docs.join(deg, docs.id == deg.endId, "left")
+        .select(
+            "id", "path", "title", F.coalesce("nRels", F.lit(0)).alias("nRels")
+        )
+        .orderBy("path", "id")
+        .limit(10)
+    )
+
+
+ORACLE_KG_DUMP_DEFAULT = _MENTIONS_CTE + """
+, rels AS (
+  SELECT documentId AS endId, CAST(count(*) AS BIGINT) AS nRels
+  FROM (SELECT DISTINCT mentionNorm, category, documentId FROM m)
+  GROUP BY documentId
+)
+SELECT 'doc-' || d.doc_id AS id,
+       'dirname-' || d.doc_id AS path,
+       'dirname-' || d.doc_id AS title,
+       coalesce(r.nRels, 0) AS nRels
+FROM documents d LEFT JOIN rels r ON r.endId = 'doc-' || d.doc_id
+ORDER BY path, id LIMIT 10
+"""
+
+
+# ------------------------------------------------------- dedup family
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5(text) groups with >1 member."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("textHash"))
+        .agg(
+            F.count("*").cast("long").alias("nDocs"),
+            F.min("doc_id").alias("keepDocId"),
+        )
+        .where(F.col("nDocs") > 1)
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS textHash,
+       CAST(count(*) AS BIGINT) AS nDocs,
+       min(doc_id) AS keepDocId
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def dedup_wordset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive exact dedup: hash of the sorted distinct word
+    set; returns every doc with its wordset key + group size."""
+    w = _words(_docs(spark, sf_dir)).where(F.col("word") != "")
+    keys = w.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.collect_set("word")))
+        ).alias("wordsetKey")
+    )
+    return (
+        keys.groupBy("wordsetKey")
+        .agg(F.count("*").cast("long").alias("nDocs"), F.min("doc_id").alias("keepDocId"))
+        .where(F.col("nDocs") > 1)
+    )
+
+
+ORACLE_DEDUP_WORDSET = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), keys AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list(DISTINCT word)), ' ')) AS wordsetKey
+  FROM w WHERE word != '' GROUP BY doc_id
+)
+SELECT wordsetKey, CAST(count(*) AS BIGINT) AS nDocs, min(doc_id) AS keepDocId
+FROM keys GROUP BY wordsetKey HAVING count(*) > 1
+"""
+
+
+_N_MINHASH = 8
+_BAND_SIZE = 4  # 2 bands of 4
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-bigram shingles per doc (the shingling step that
+    makes MinHash discriminative — single words are too coarse on a
+    small vocabulary). Built as an array transform: one pass over the
+    token array, no self-join shuffle."""
+    d = _docs(spark, sf_dir)
+    tk = F.split(F.col("text"), " ")
+    sh = F.when(
+        F.size(tk) >= 2,
+        F.expr(
+            "filter(transform(sequence(0, size(split(text,' ')) - 2), "
+            "i -> concat(split(text,' ')[i], ' ', split(text,' ')[i+1])), "
+            "s -> s != ' ' and not s like '% ' and not s like ' %')"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8, md5-based — engine-portable and fully
+    deterministic) + LSH band keys (b=2, r=4). The banding step of
+    shingle→minhash→band→bucket-join dedup; bucket-join pairs in
+    dedup_minhash_pairs."""
+    w = _shingles(spark, sf_dir).withColumnRenamed("shingle", "word")
+    # all k minhashes in ONE aggregation pass — map-side partial min
+    # per seed, no seed explosion, 1 shuffle of k small columns
+    per_doc = w.groupBy("doc_id").agg(
+        F.concat_ws(
+            ",",
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("word"))))
+                for s in range(_N_MINHASH)
+            ],
+        ).alias("sig")
+    )
+    parts = F.split(F.col("sig"), ",")
+    band = lambda i: F.md5(  # noqa: E731
+        F.concat_ws(",", *[parts.getItem(j) for j in range(i * _BAND_SIZE, (i + 1) * _BAND_SIZE)])
+    )
+    return per_doc.select(
+        "doc_id", "sig", band(0).alias("band0"), band(1).alias("band1")
+    )
+
+
+_SHINGLES_SQL = """
+  SELECT DISTINCT doc_id, parts[i] || ' ' || parts[i+1] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(parts) - 1)) AS i) t
+  WHERE parts[i] != '' AND parts[i+1] != ''
+"""
+
+ORACLE_DEDUP_MINHASH_SIG = f"""
+WITH w AS ({_SHINGLES_SQL}
+), sigs AS (
+  SELECT doc_id, s.seed, min(md5(s.seed || ':' || w.word)) AS mh
+  FROM w,
+       (SELECT unnest(generate_series(0, {_N_MINHASH - 1})) AS seed) s
+  GROUP BY doc_id, s.seed
+), per_doc AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+             list_sort(list((seed, mh))), x -> x[2]), ',') AS sig
+  FROM sigs GROUP BY doc_id
+)
+SELECT doc_id, sig,
+       md5(array_to_string(string_split(sig, ',')[1:{_BAND_SIZE}], ',')) AS band0,
+       md5(array_to_string(string_split(sig, ',')[{_BAND_SIZE + 1}:{2 * _BAND_SIZE}], ',')) AS band1
+FROM per_doc
+"""
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs (same band bucket) verified with exact
+    shingle-set Jaccard ≥ 0.5. Bucket self-join replaces the all-pairs
+    cross join — the scale path."""
+    sig = dedup_minhash_sig(spark, sf_dir)
+    bands = sig.select(
+        "doc_id", F.explode(F.array("band0", "band1")).alias("band")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("docA"), F.col("b.doc_id").alias("docB"))
+        .distinct()
+    )
+    w = _shingles(spark, sf_dir).withColumnRenamed("shingle", "word")
+    sizes = w.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(w.alias("wa"), F.col("docA") == F.col("wa.doc_id"))
+        .join(
+            w.alias("wb"),
+            (F.col("docB") == F.col("wb.doc_id"))
+            & (F.col("wa.word") == F.col("wb.word")),
+        )
+        .groupBy("docA", "docB")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.alias("sa"), F.col("docA") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("docB") == F.col("sb.doc_id"))
+        .select(
+            "docA",
+            "docB",
+            F.round(
+                F.col("inter")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+    )
+    return out
+
+
+ORACLE_DEDUP_MINHASH_PAIRS = f"""
+WITH wd AS ({_SHINGLES_SQL}
+), sigs AS (
+  SELECT doc_id, s.seed, min(md5(s.seed || ':' || wd.word)) AS mh
+  FROM wd, (SELECT unnest(generate_series(0, {_N_MINHASH - 1})) AS seed) s
+  GROUP BY doc_id, s.seed
+), per_doc AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+             list_sort(list((seed, mh))), x -> x[2]), ',') AS sig
+  FROM sigs GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, unnest([
+      md5(array_to_string(string_split(sig, ',')[1:{_BAND_SIZE}], ',')),
+      md5(array_to_string(string_split(sig, ',')[{_BAND_SIZE + 1}:{2 * _BAND_SIZE}], ','))
+  ]) AS band
+  FROM per_doc
+), cand AS (
+  SELECT DISTINCT a.doc_id AS docA, b.doc_id AS docB
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM wd GROUP BY doc_id
+), inter AS (
+  SELECT c.docA, c.docB, count(*) AS i
+  FROM cand c
+  JOIN wd wa ON wa.doc_id = c.docA
+  JOIN wd wb ON wb.doc_id = c.docB AND wb.word = wa.word
+  GROUP BY c.docA, c.docB
+)
+SELECT i.docA, i.docB,
+       round(i.i / (sa.sz + sb.sz - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.docA
+JOIN sizes sb ON sb.doc_id = i.docB
+WHERE round(i.i / (sa.sz + sb.sz - i.i), 6) >= 0.5
+"""
+
+
+_SIMHASH_BITS = 16
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: bit i votes on the high bit of the
+    i-th hex nibble of md5(word) over the distinct word set."""
+    w = (
+        _words(_docs(spark, sf_dir))
+        .where(F.col("word") != "")
+        .select("doc_id", F.md5("word").alias("h"))
+        .distinct()
+    )
+    bits = spark.range(_SIMHASH_BITS).select(F.col("id").alias("bit"))
+    votes = (
+        w.crossJoin(F.broadcast(bits))
+        .select(
+            "doc_id",
+            "bit",
+            F.when(
+                F.substring(F.col("h"), (F.col("bit") + 1).cast("int"), 1).isin(
+                    "8", "9", "a", "b", "c", "d", "e", "f"
+                ),
+                1,
+            )
+            .otherwise(-1)
+            .alias("v"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("v").alias("s"))
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("bit"))).otherwise(0)
+            )
+            .cast("long")
+            .alias("simhash")
+        )
+    )
+
+
+ORACLE_DEDUP_SIMHASH = f"""
+WITH w AS (
+  SELECT DISTINCT doc_id, md5(word) AS h
+  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents)
+  WHERE word != ''
+), votes AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN substr(h, CAST(b.bit + 1 AS INT), 1)
+                  IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
+  FROM w, (SELECT unnest(generate_series(0, {_SIMHASH_BITS - 1})) AS bit) b
+  GROUP BY doc_id, b.bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN pow(2, bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+# ------------------------------------------------- similarity search
+
+
+def _cosine(a: F.Column, b: F.Column) -> F.Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (na * nb)
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 10 —
+    broadcast the query side, rank with a window."""
+    from pyspark.sql import Window as W
+
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    pairs = e.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("qid"))
+    scored = pairs.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        _cosine(F.col("qv"), F.col("embedding")).alias("cos"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("qid", "nid", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+ORACLE_ANN_COSINE_TOPK = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT q.qid, e.vec_id AS nid,
+         list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+           (sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))) *
+            sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos
+  FROM q, embeddings e WHERE e.vec_id != q.qid
+), ranked AS (
+  SELECT qid, nid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+  FROM scored
+)
+SELECT qid, nid, rank, round(cos, 6) AS cosine FROM ranked WHERE rank <= 5
+"""
+
+
+def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.95) for probe set
+    vec_id < 100 vs all — the brute-force baseline of the LSH path."""
+    e = _emb(spark, sf_dir)
+    probe = e.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("aid"), F.col("embedding").alias("av")
+    )
+    pairs = e.crossJoin(F.broadcast(probe)).where(F.col("vec_id") > F.col("aid"))
+    return (
+        pairs.select(
+            "aid",
+            F.col("vec_id").alias("bid"),
+            F.round(_cosine(F.col("av"), F.col("embedding")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.95)
+    )
+
+
+ORACLE_EMBED_NEARDUP = """
+WITH probe AS (
+  SELECT vec_id AS aid, embedding AS av FROM embeddings WHERE vec_id < 100
+)
+SELECT p.aid, e.vec_id AS bid,
+       round(list_dot_product(CAST(p.av AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+             (sqrt(list_dot_product(CAST(p.av AS DOUBLE[]), CAST(p.av AS DOUBLE[]))) *
+              sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) AS cosine
+FROM probe p, embeddings e
+WHERE e.vec_id > p.aid
+  AND round(list_dot_product(CAST(p.av AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+            (sqrt(list_dot_product(CAST(p.av AS DOUBLE[]), CAST(p.av AS DOUBLE[]))) *
+             sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) >= 0.95
+"""
+
+
+# ------------------------------------------------------ text analysis
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality signals per document."""
+    d = _docs(spark, sf_dir)
+    tokens = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(tokens).cast("long").alias("nTokens"),
+        F.size(F.array_distinct(tokens)).cast("long").alias("nDistinctTokens"),
+        F.length("text").cast("long").alias("nChars"),
+        F.round(
+            F.size(F.array_distinct(tokens)) / F.size(tokens), 6
+        ).alias("ttr"),
+    )
+
+
+ORACLE_TEXT_STATS = """
+SELECT doc_id,
+       CAST(len(string_split(text,' ')) AS BIGINT) AS nTokens,
+       CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS nDistinctTokens,
+       CAST(length(text) AS BIGINT) AS nChars,
+       round(len(list_distinct(string_split(text,' '))) * 1.0 /
+             len(string_split(text,' ')), 6) AS ttr
+FROM documents
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language scoring (n-gram-heuristic family):
+    deterministic argmax over per-language marker counts."""
+    d = _docs(spark, sf_dir)
+    tokens = F.split(F.col("text"), " ")
+    markers = {
+        "en": ["the", "a"],
+        "query": ["query", "table", "row"],
+        "data": ["data", "value", "key"],
+    }
+    cnt = {
+        lang: F.size(
+            F.filter(tokens, lambda t: t.isin(*words))
+        ).cast("long")
+        for lang, words in markers.items()
+    }
+    best = (
+        F.when(
+            (cnt["en"] >= cnt["query"]) & (cnt["en"] >= cnt["data"]), F.lit("en")
+        )
+        .when(cnt["query"] >= cnt["data"], F.lit("query"))
+        .otherwise(F.lit("data"))
+    )
+    return d.select(
+        "doc_id",
+        cnt["en"].alias("scoreEn"),
+        cnt["query"].alias("scoreQuery"),
+        cnt["data"].alias("scoreData"),
+        best.alias("predicted"),
+    )
+
+
+ORACLE_LANG_ID = """
+WITH s AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS BIGINT) AS scoreEn,
+    CAST(len(list_filter(string_split(text,' '), t -> t IN ('query','table','row'))) AS BIGINT) AS scoreQuery,
+    CAST(len(list_filter(string_split(text,' '), t -> t IN ('data','value','key'))) AS BIGINT) AS scoreData
+  FROM documents
+)
+SELECT doc_id, scoreEn, scoreQuery, scoreData,
+       CASE WHEN scoreEn >= scoreQuery AND scoreEn >= scoreData THEN 'en'
+            WHEN scoreQuery >= scoreData THEN 'query'
+            ELSE 'data' END AS predicted
+FROM s
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix fingerprint + length bucket (rolling-hash family)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.md5(F.substring(F.col("text"), 1, 64)).alias("prefixHash"),
+        (F.col("n_chars") - F.col("n_chars") % 100).cast("long").alias("lenBucket"),
+    )
+
+
+ORACLE_DOC_FINGERPRINT = """
+SELECT doc_id, md5(substr(text, 1, 64)) AS prefixHash,
+       CAST(n_chars - n_chars % 100 AS BIGINT) AS lenBucket
+FROM documents
+"""
+
+
+# --------------------------------------------- general operator demos
+
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family demo: grouped aggregation with pushdown-able filter."""
+    li = _lineitem(spark, sf_dir)
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + top-n: revenue per customer (broadcast dim)."""
+    o = _orders(spark, sf_dir)
+    c = _customer(spark, sf_dir)
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count("*").cast("long").alias("nOrders"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_JOIN_TOPN = """
+SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS nOrders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti demo: customers with no orders."""
+    o = _orders(spark, sf_dir).select("o_custkey")
+    c = _customer(spark, sf_dir)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+ORACLE_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+"""
+
+
+# ---------------------------------------------------------- registry
+
+QUERIES = {
+    "kg_doc_nodes": (kg_doc_nodes, ORACLE_KG_DOC_NODES),
+    "kg_has_parent": (kg_has_parent, ORACLE_KG_HAS_PARENT),
+    "kg_mentions": (kg_mentions, ORACLE_KG_MENTIONS),
+    "kg_entities": (kg_entities, ORACLE_KG_ENTITIES),
+    "kg_appears_in": (kg_appears_in, ORACLE_KG_APPEARS_IN),
+    "kg_email_edges": (kg_email_edges, ORACLE_KG_EMAIL_EDGES),
+    "kg_semi_join": (kg_semi_join, ORACLE_KG_SEMI_JOIN),
+    "kg_stats": (kg_stats, ORACLE_KG_STATS),
+    "kg_dump_default": (kg_dump_default, ORACLE_KG_DUMP_DEFAULT),
+    "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_wordset": (dedup_wordset, ORACLE_DEDUP_WORDSET),
+    "dedup_minhash_sig": (dedup_minhash_sig, ORACLE_DEDUP_MINHASH_SIG),
+    "dedup_minhash_pairs": (dedup_minhash_pairs, ORACLE_DEDUP_MINHASH_PAIRS),
+    "dedup_simhash": (dedup_simhash, ORACLE_DEDUP_SIMHASH),
+    "ann_cosine_topk": (ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
+    "embed_neardup": (embed_neardup, ORACLE_EMBED_NEARDUP),
+    "text_stats": (text_stats, ORACLE_TEXT_STATS),
+    "lang_id": (lang_id, ORACLE_LANG_ID),
+    "doc_fingerprint": (doc_fingerprint, ORACLE_DOC_FINGERPRINT),
+    "tpch_q1": (tpch_q1, ORACLE_TPCH_Q1),
+    "join_topn": (join_topn, ORACLE_JOIN_TOPN),
+    "anti_join": (anti_join, ORACLE_ANTI_JOIN),
+}
