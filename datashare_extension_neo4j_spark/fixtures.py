@@ -168,8 +168,35 @@ def reference_pages(spark: SparkSession, **kw) -> DataFrame:
     return spark.createDataFrame(reference_pages_pandas(**kw), schema=PAGES_SCHEMA)
 
 
+def materialize_pages(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    multiplier: int = 1,
+    body_repeat: int = 1,
+) -> str:
+    """Write the synthetic pages corpus to parquet once — benchmarks
+    then read it like the real system reads the Iceberg pages table
+    (input_hint), so page *generation* cost never pollutes measured
+    pipeline throughput. body_repeat inflates page size toward
+    realistic web-page volumes."""
+    pages = pages_from_documents(spark, sf_dir, multiplier=multiplier)
+    if body_repeat > 1:
+        pages = pages.withColumn(
+            "html",
+            F.encode(
+                F.concat_ws(
+                    "", F.array_repeat(F.decode("html", "utf-8"), body_repeat)
+                ),
+                "utf-8",
+            ),
+        )
+    pages.write.mode("overwrite").parquet(out_path)
+    return out_path
+
+
 def pages_from_documents(
-    spark: SparkSession, sf_dir: str, root_stride: int = 5
+    spark: SparkSession, sf_dir: str, root_stride: int = 5, multiplier: int = 1
 ) -> DataFrame:
     """Distributed deterministic pages derived from documents.parquet.
 
@@ -180,6 +207,24 @@ def pages_from_documents(
     the input and parallelizes with the scan.
     """
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if multiplier > 1:
+        # deterministic scale-up: k page variants per document with
+        # distinct ids (doc_id' = doc_id * k + rep), fully distributed
+        reps = spark.range(multiplier).select(F.col("id").alias("rep"))
+        # one wave of fat partitions: pandas-UDF stages pay a fixed
+        # per-task Arrow/IPC cost, so fewer+bigger tasks scale better.
+        # repartition BEFORE the multiplying crossJoin — the expansion
+        # and the HTML synthesis then run fully parallel, no serial
+        # single-task shuffle writer.
+        n_parts = max(spark.sparkContext.defaultParallelism, 8)
+        d = (
+            d.repartition(n_parts)
+            .crossJoin(F.broadcast(reps))
+            .withColumn(
+                "doc_id", F.col("doc_id") * multiplier + F.col("rep")
+            )
+            .drop("rep")
+        )
     i = F.col("doc_id")
     root = (i - i % root_stride).cast("long")
     email_user = F.concat(F.lit("user"), (i % 50).cast("string"))

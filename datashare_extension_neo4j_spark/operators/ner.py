@@ -42,10 +42,28 @@ _MENTION_COLS = [
 
 
 def annotated_mentions(parsed: DataFrame) -> DataFrame:
-    """Explode ann_mentions arrays into reference-shaped mention rows."""
+    """Explode ann_mentions arrays into reference-shaped mention rows.
+
+    The carrier struct is primitives-only (offsets '|'-joined, email
+    header flat — see extract._MENTION_STRUCT); this reconstructs the
+    reference NE-hit shape (offsets array<long>, metadata map) with
+    codegen'd expressions.
+    """
     m = parsed.select(
         F.col("id").alias("documentId"),
         F.explode("ann_mentions").alias("m"),
+    )
+    offsets = F.when(
+        F.col("m.offsets").isNotNull() & (F.col("m.offsets") != ""),
+        F.transform(
+            F.split(F.col("m.offsets"), "\\|"), lambda x: x.cast("long")
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    metadata = F.when(
+        F.col("m.emailHeaderField").isNotNull(),
+        F.create_map(
+            F.lit(EMAIL_HEADER), F.col("m.emailHeaderField")
+        ),
     )
     return m.select(
         F.col("m.id").alias("id"),
@@ -56,8 +74,8 @@ def annotated_mentions(parsed: DataFrame) -> DataFrame:
         F.length("m.mentionNorm").cast("int").alias("mentionNormTextLength"),
         F.col("m.extractor").alias("extractor"),
         F.col("m.extractorLanguage").alias("extractorLanguage"),
-        F.col("m.offsets").alias("offsets"),
-        F.col("m.metadata").alias("metadata"),
+        offsets.alias("offsets"),
+        metadata.alias("metadata"),
     )
 
 

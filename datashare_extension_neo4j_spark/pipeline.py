@@ -60,8 +60,38 @@ def build_graph(
     salted: bool = False,
     semi_join_docs: bool = True,
     cache: bool = True,
+    fuse_ner: bool = False,
+    include_text: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> GraphBuild:
-    parsed = parse_pages(pages)
+    if fuse_ner:
+        # scale path: NER fused into the parse pass (one scan over the
+        # html) and the wide text column dropped from the exchange
+        from .operators.ner import DEFAULT_GAZETTEER
+
+        parsed = parse_pages(
+            pages,
+            include_text=include_text,
+            ner_gazetteer=DEFAULT_GAZETTEER if use_rule_ner else None,
+        )
+        use_rule_ner = False
+        # fused mentions are born from their own document row — the
+        # J1 semi-join is a tautology here; it matters only for the
+        # incremental case (mentions vs previously-imported docs)
+        semi_join_docs = False
+    else:
+        parsed = parse_pages(pages)
+    if checkpoint_dir is not None:
+        # stage checkpoint: the parse output lands in columnar parquet
+        # and every consumer does a pruned scan. Scale-correct (no JVM
+        # object cache, resumable — the manifest pins this path) and
+        # GC-friendly: in-memory caching of nested rows is allocation-
+        # bound and anti-scales past ~8 threads (measured).
+        spark = pages.sparkSession
+        path = f"{checkpoint_dir}/parsed"
+        parsed.write.mode("overwrite").parquet(path)
+        parsed = spark.read.parquet(path)
+        cache = False
     if cache:
         # one persist of the (expensive) Python parse output; docs and
         # both mention streams are cheap projections over it

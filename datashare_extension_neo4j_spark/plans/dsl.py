@@ -1,0 +1,253 @@
+"""Graph-query DSL compiler (SURVEY.md §2.8).
+
+The reference compiles a JSON query algebra to Cypher via cypher-dsl
+(src/main/java/org/icij/datashare/Neo4jUtils.java:102-268 — Query,
+PathPattern, PatternNode, PatternRelationship, Where trees,
+SortByProperty, limit capping; fixtures under
+src/test/resources/neo4j_utils/*.json). We compile the same JSON to a
+DataFrame plan over the nodes/edges tables:
+
+  * PatternNode{name, labels, properties} → filtered nodes scan,
+    bound as a struct column named after the variable
+  * PathPattern (linear) → chain of equi-joins through the edges
+    table; direction from/to/between (Neo4jUtils.java:369-426,786-809;
+    ``between`` = union of both orientations)
+  * multiple matches → natural join on shared variable names;
+    optional → left outer join (OPTIONAL MATCH)
+  * Where{and,or,not,isEqualTo,startsWith,endsWith} → Column tree
+    (Neo4jUtils.java:52-89,607-783)
+  * orderBy / limit: limit = min(user, default)
+    (Neo4jUtils.java:236-244)
+
+Catalyst owns everything downstream: the label/property filters push
+into the nodes scan, join order is cost-based, the final limit is a
+CollectLimit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_LIMIT = 10_000  # neo4jAppMaxDumpedDocuments (Neo4jResource.java:115-118)
+
+
+class DSLError(ValueError):
+    pass
+
+
+@dataclass
+class GraphTables:
+    """nodes(node_id, labels: array<string>, props: map<string,string>)
+    edges(src, dst, type, props: map<string,string>)"""
+
+    nodes: DataFrame
+    edges: DataFrame
+
+
+def _node_struct(df: DataFrame, var: str) -> DataFrame:
+    return df.select(
+        F.struct(
+            F.col("node_id"), F.col("labels"), F.col("props")
+        ).alias(var)
+    )
+
+
+def _match_node(g: GraphTables, spec: dict) -> tuple[str, DataFrame]:
+    var = spec.get("name")
+    if not var:
+        raise DSLError("pattern node must be named")
+    df = g.nodes
+    for label in spec.get("labels") or []:
+        df = df.where(F.array_contains(F.col("labels"), label))
+    for k, v in (spec.get("properties") or {}).items():
+        df = df.where(F.col("props").getItem(k) == F.lit(v))
+    return var, _node_struct(df, var)
+
+
+def _edge_filtered(g: GraphTables, rel: dict) -> DataFrame:
+    df = g.edges
+    types = rel.get("types") or []
+    if types:
+        df = df.where(F.col("type").isin(*types))
+    return df
+
+
+def _compile_path(g: GraphTables, path: dict) -> tuple[DataFrame, bool]:
+    nodes = path.get("nodes") or []
+    rels = path.get("relationships") or []
+    if not nodes:
+        raise DSLError("path must have at least one node")
+    if len(rels) != len(nodes) - 1:
+        # arity check mirrors Neo4jUtils.java:443-458
+        raise DSLError(
+            f"invalid path: {len(nodes)} nodes require {len(nodes) - 1}"
+            f" relationships, got {len(rels)}"
+        )
+    var0, df = _match_node(g, nodes[0])
+    bound = [var0]
+    for i, rel in enumerate(rels):
+        nvar, ndf = _match_node(g, nodes[i + 1])
+        rel_var = rel.get("name") or f"_rel{i}"
+        direction = rel.get("direction", "between")
+        e = _edge_filtered(g, rel)
+        estruct = F.struct(
+            F.col("src"), F.col("dst"), F.col("type"), F.col("props")
+        ).alias(rel_var)
+        if direction == "from":
+            e = e.select(estruct, F.col("src").alias("_a"), F.col("dst").alias("_b"))
+        elif direction == "to":
+            e = e.select(estruct, F.col("dst").alias("_a"), F.col("src").alias("_b"))
+        elif direction == "between":
+            e1 = e.select(
+                estruct, F.col("src").alias("_a"), F.col("dst").alias("_b")
+            )
+            e2 = e.select(
+                estruct, F.col("dst").alias("_a"), F.col("src").alias("_b")
+            )
+            e = e1.unionByName(e2)
+        else:
+            raise DSLError(f"unknown direction: {direction}")
+        df = (
+            df.join(e, F.col(f"{bound[-1]}.node_id") == F.col("_a"))
+            .join(ndf, F.col("_b") == F.col(f"{nvar}.node_id"))
+            .drop("_a", "_b")
+        )
+        bound.extend([rel_var, nvar])
+    return df, bool(path.get("optional", False))
+
+
+def _compile_where(w: dict) -> Column:
+    if len(w) != 1:
+        raise DSLError(f"where node must have exactly one key: {w}")
+    (op, body), = w.items()
+    if op == "and":
+        col = F.lit(True)
+        for sub in body:
+            col = col & _compile_where(sub)
+        return col
+    if op == "or":
+        col = F.lit(False)
+        for sub in body:
+            col = col | _compile_where(sub)
+        return col
+    if op == "not":
+        return ~_compile_where(body["value"])
+    if op in ("isEqualTo", "startsWith", "endsWith"):
+        prop = body["property"]
+        lhs = F.col(f"{prop['variable']}.props").getItem(prop["name"])
+        val = body["value"]
+        if "literal" in val:
+            rhs: Column | str = F.lit(val["literal"])
+        else:
+            rhs = F.col(f"{val['variable']}.props").getItem(val["name"])
+        if op == "isEqualTo":
+            return lhs == rhs
+        if op == "startsWith":
+            return lhs.startswith(rhs)
+        return lhs.endswith(rhs)
+    raise DSLError(f"unknown where operator: {op}")
+
+
+def compile_query(
+    g: GraphTables, query: dict, default_limit: int = DEFAULT_LIMIT
+) -> DataFrame:
+    """Query{matches, where, orderBy, limit} → DataFrame with one
+    struct column per bound variable."""
+    matches = query.get("matches")
+    if not matches:
+        raise DSLError("query must have at least one match")
+    df: DataFrame | None = None
+    for m in matches:
+        pdf, optional = _compile_path(g, m["path"])
+        if df is None:
+            if optional:
+                raise DSLError("first match cannot be optional")
+            df = pdf
+        else:
+            shared = [c for c in pdf.columns if c in df.columns]
+            how = "left" if optional else "inner"
+            if shared:
+                cond = [
+                    F.col(f"l.{c}.node_id") == F.col(f"r.{c}.node_id")
+                    for c in shared
+                ]
+                keep_r = [c for c in pdf.columns if c not in df.columns]
+                df = (
+                    df.alias("l")
+                    .join(pdf.alias("r"), cond, how)
+                    .select(
+                        *[F.col(f"l.{c}").alias(c) for c in df.columns],
+                        *[F.col(f"r.{c}").alias(c) for c in keep_r],
+                    )
+                )
+            else:
+                df = df.crossJoin(pdf)
+    where = query.get("where")
+    if where:
+        df = df.where(_compile_where(where))
+    for ob in query.get("orderBy") or []:
+        prop = F.col(f"{ob['property']['variable']}.props").getItem(
+            ob["property"]["name"]
+        )
+        df = df.orderBy(
+            prop.desc() if ob.get("direction", "asc").lower() == "desc" else prop.asc()
+        )
+    limit = query.get("limit")
+    eff = min(limit, default_limit) if limit is not None else default_limit
+    return df.limit(eff)
+
+
+DUMP_EDGE_TYPES = ["APPEARS_IN", "SENT", "RECEIVED"]
+
+
+def compile_dump_query(
+    g: GraphTables,
+    dump: dict | None,
+    default_limit: int = DEFAULT_LIMIT,
+) -> tuple[DataFrame, DataFrame]:
+    """DumpQuery semantics (Objects.java:74-142 + graphs.py:40-51):
+    exactly one user query (or the default doc query ordered by path),
+    auto-extended with the optional match
+    (doc)-[rel:APPEARS_IN|SENT|RECEIVED]-(ne:NamedEntity); returns the
+    de-duplicated (nodes, edges) DataFrames of the subgraph."""
+    queries = (dump or {}).get("queries") or []
+    if len(queries) > 1:
+        raise DSLError("dump query must contain exactly one query")
+    if queries:
+        q = dict(queries[0])
+        if not q.get("matches"):
+            raise DSLError("dump query must have at least one match")
+    else:
+        # default: MATCH (doc:Document) ORDER BY doc.path ASC LIMIT k
+        q = {
+            "matches": [
+                {"path": {"nodes": [{"name": "doc", "labels": ["Document"]}]}}
+            ],
+            "orderBy": [
+                {"property": {"variable": "doc", "name": "path"}, "direction": "asc"}
+            ],
+        }
+    doc_var = q["matches"][0]["path"]["nodes"][0]["name"]
+    docs = compile_query(g, q, default_limit=default_limit)
+    doc_ids = docs.select(
+        F.col(f"{doc_var}.node_id").alias("node_id")
+    ).distinct()
+    rels = g.edges.where(F.col("type").isin(*DUMP_EDGE_TYPES))
+    # undirected attachment: either endpoint is a dumped doc
+    sub_edges = rels.join(
+        doc_ids,
+        (rels.src == doc_ids.node_id) | (rels.dst == doc_ids.node_id),
+        "left_semi",
+    )
+    ne_ids = (
+        sub_edges.select(F.col("src").alias("node_id"))
+        .unionByName(sub_edges.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    all_ids = doc_ids.unionByName(ne_ids).distinct()
+    sub_nodes = g.nodes.join(all_ids, "node_id", "left_semi")
+    # map-typed props can't go through set ops — dedup on the edge key
+    return sub_nodes, sub_edges.dropDuplicates(["src", "dst", "type"])

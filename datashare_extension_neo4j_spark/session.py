@@ -41,9 +41,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # collect_set/collect_list aggs: sort-based beats object-hash at
+        # high group cardinality (measured 2.5x on APPEARS_IN) and
+        # avoids the GC churn of per-group array buffers
+        .config("spark.sql.execution.useObjectHashAggregateExec", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
