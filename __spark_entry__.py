@@ -51,4 +51,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from datashare_extension_neo4j_spark.queries import QUERIES
 
-    return {name: oracle for name, (_fn, oracle) in QUERIES.items()}
+    # entries with oracle=None are approximate/non-SQL-expressible →
+    # omitted: the driver records a rows-only check for them
+    return {
+        name: oracle
+        for name, (_fn, oracle) in QUERIES.items()
+        if oracle is not None
+    }

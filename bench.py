@@ -48,17 +48,40 @@ def main() -> None:
 
     # JVM/codegen warm-up so the first timed job isn't paying startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    import pandas as pd  # noqa: F401
 
-    # full KG pipeline (pages → graph), the north-star workload
+    def _noop(it):
+        for pdf in it:
+            yield pdf
+
+    # python workers are long-lived on a real cluster — start untimed
+    spark.range(CPUS * 8).repartition(CPUS * 4).mapInPandas(_noop, "id long").count()
+
+    # full KG pipeline (pages → graph), the north-star workload:
+    # fused parse+NER, stage checkpoint, graph-table sinks
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="kg_bench_")
     t0 = time.perf_counter()
     g = build_graph(
-        pages_from_documents(spark, SF_DIR), use_rule_ner=True, cache=True
+        pages_from_documents(spark, SF_DIR),
+        use_rule_ner=True,
+        fuse_ner=True,
+        include_text=False,
+        checkpoint_dir=f"{work}/ck",
     )
-    n_docs = g.docs.count()
-    n_edges = g.appears_in.count() + g.emails.count() + g.doc_roots.count()
+    from datashare_extension_neo4j_spark.sinks.tables import materialize_graph
+
+    materialize_graph(g, f"{work}/out")
     t_pipeline = time.perf_counter() - t0
+    n_docs = spark.read.parquet(f"{work}/out/docs").count()
+    n_edges = sum(
+        spark.read.parquet(f"{work}/out/{t}").count()
+        for t in ("appears_in", "emails", "doc_roots")
+    )
     timings["kg_full_pipeline"] = round(t_pipeline, 3)
-    g.unpersist()
+    shutil.rmtree(work, ignore_errors=True)
 
     for name in HEADLINE:
         fn, _oracle = QUERIES[name]

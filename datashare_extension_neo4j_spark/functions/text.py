@@ -40,6 +40,21 @@ def _rfc2047_pd(s: pd.Series) -> pd.Series:
 rfc2047_decode_udf = F.pandas_udf(_rfc2047_pd, T.StringType())
 
 
+def rfc2047_decode_expr(c: Column) -> Column:
+    """JVM-native RFC-2047 decode: payload = split('?')[-2], '='→'%',
+    then x-www-form-urlencoded decode (urllib ``unquote_plus``
+    semantics = Java URLDecoder). ``try_url_decode`` nulls on
+    malformed %-sequences where urllib would keep them literal — we
+    fall back to the undecoded value there (divergence only on
+    malformed encodings; the UDF path keeps exact urllib parity).
+    Whole-stage-codegen'd: no Arrow round trip on the docs stage.
+    """
+    is_encoded = c.startswith("=?") & c.endswith("?=")
+    payload = F.translate(F.element_at(F.split(c, "\\?"), -2), "=", "%")
+    decoded = F.coalesce(F.try_url_decode(payload), payload)
+    return F.when(is_encoded, decoded).otherwise(c)
+
+
 def _nonempty(c: Column) -> Column:
     return F.nullif(c, F.lit(""))
 
@@ -55,6 +70,7 @@ def default_title(
     title: Column,
     metadata: Column,
     extraction_level: Column,
+    exact_rfc2047: bool = False,
 ) -> Column:
     short_id = F.substring(doc_id, 1, 10)
     base_name = F.element_at(F.split(F.coalesce(path, F.lit("")), "/"), -1)
@@ -62,7 +78,13 @@ def default_title(
         F.coalesce(extraction_level, F.lit(0)) > 0,
         F.trim(F.coalesce(metadata.getItem("tika_metadata_resourcename"), F.lit(""))),
     ).otherwise(F.lit(""))
-    resource = rfc2047_decode_udf(resource_raw)
+    # native decode by default (codegen'd); pandas UDF for byte-exact
+    # urllib semantics on malformed encodings
+    resource = (
+        rfc2047_decode_udf(resource_raw)
+        if exact_rfc2047
+        else rfc2047_decode_expr(resource_raw)
+    )
     return F.coalesce(
         _nonempty(F.trim(F.coalesce(title, F.lit("")))),
         _nonempty(resource),

@@ -857,6 +857,105 @@ FROM documents
 """
 
 
+def kg_appears_in_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: two-level salted APPEARS_IN aggregation for degree-heavy
+    keys — partial agg on (key, salt) collapses hot mentionNorms
+    before the final shuffle. Output (and oracle) identical to
+    kg_appears_in: salting is an execution strategy, not semantics."""
+    m = _mentions(spark, sf_dir).withColumn(
+        "_salt", F.pmod(F.xxhash64("mention_id"), F.lit(8))
+    )
+    partial = m.groupBy("mentionNorm", "category", "documentId", "_salt").agg(
+        F.collect_set("mention_id").alias("_ids"),
+        F.collect_set("offset").alias("_offs"),
+    )
+    return (
+        partial.groupBy("mentionNorm", "category", "documentId")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("_ids")))
+                ),
+                NEO4J_ARRAY_SPLIT_CHAR,
+            ).alias("mentionIds"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.array_distinct(F.flatten(F.collect_list("_offs")))
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                NEO4J_ARRAY_SPLIT_CHAR,
+            ).alias("offsets"),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("_ids")))
+            ).cast("long").alias("mentionCount"),
+        )
+        .select(
+            entity_id(F.col("mentionNorm"), F.col("category")).alias("startId"),
+            F.col("documentId").alias("endId"),
+            F.lit("APPEARS_IN").alias("type"),
+            "mentionNorm",
+            "category",
+            "mentionIds",
+            "offsets",
+            "mentionCount",
+        )
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (scale path of ann_cosine_topk):
+    bucket join + exact re-rank. Approximate by construction → rows-
+    only driver check; recall vs the exact oracle is asserted in
+    tests/test_extras.py."""
+    from .operators.similarity import lsh_ann_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    out = lsh_ann_topk(e, q, dim=64, k=5, bits=4, tables=8)
+    return out.select("qid", "nid", "rank", F.round("cos", 6).alias("cosine"))
+
+
+def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents → synthetic binary image column
+    → mapInPandas decode (deterministic fake kernel). The decode
+    formula is hash-derived, so an exact SQL oracle exists."""
+    from .operators.multimodal import decode_images
+
+    d = _docs(spark, sf_dir)
+    media = d.select(
+        F.concat(F.lit("asset-"), F.col("doc_id")).alias("asset_id"),
+        _doc_id().alias("doc_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.substring(F.col("text"), 1, 64), "utf-8").alias("content"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    return decode_images(media)
+
+
+ORACLE_MEDIA_DECODE = """
+WITH m AS (
+  SELECT 'asset-' || doc_id AS asset_id,
+         'doc-' || doc_id AS doc_id,
+         substr(text, 1, 64) AS content
+  FROM documents
+), h AS (
+  SELECT asset_id, doc_id, content, sha256(content) AS hx FROM m
+)
+SELECT asset_id, doc_id,
+       CASE WHEN content IS NULL OR content = '' THEN 0
+            ELSE CAST(64 + ('0x' || substr(hx, 1, 4))::BIGINT % 1984 AS INT) END AS width,
+       CASE WHEN content IS NULL OR content = '' THEN 0
+            ELSE CAST(64 + ('0x' || substr(hx, 5, 4))::BIGINT % 1984 AS INT) END AS height,
+       CASE WHEN content IS NULL OR content = '' THEN 0 ELSE 3 END AS channels,
+       CASE WHEN content IS NULL OR content = '' THEN '' ELSE substr(hx, 1, 16) END AS content_hash
+FROM h
+"""
+
+
 # --------------------------------------------- general operator demos
 
 
@@ -935,6 +1034,7 @@ QUERIES = {
     "kg_mentions": (kg_mentions, ORACLE_KG_MENTIONS),
     "kg_entities": (kg_entities, ORACLE_KG_ENTITIES),
     "kg_appears_in": (kg_appears_in, ORACLE_KG_APPEARS_IN),
+    "kg_appears_in_salted": (kg_appears_in_salted, ORACLE_KG_APPEARS_IN),
     "kg_email_edges": (kg_email_edges, ORACLE_KG_EMAIL_EDGES),
     "kg_semi_join": (kg_semi_join, ORACLE_KG_SEMI_JOIN),
     "kg_stats": (kg_stats, ORACLE_KG_STATS),
@@ -945,6 +1045,8 @@ QUERIES = {
     "dedup_minhash_pairs": (dedup_minhash_pairs, ORACLE_DEDUP_MINHASH_PAIRS),
     "dedup_simhash": (dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "ann_cosine_topk": (ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
+    "ann_lsh_topk": (ann_lsh_topk, None),
+    "media_decode": (media_decode, ORACLE_MEDIA_DECODE),
     "embed_neardup": (embed_neardup, ORACLE_EMBED_NEARDUP),
     "text_stats": (text_stats, ORACLE_TEXT_STATS),
     "lang_id": (lang_id, ORACLE_LANG_ID),

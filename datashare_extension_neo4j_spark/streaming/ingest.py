@@ -1,0 +1,91 @@
+"""Structured Streaming ingestion of pages → incremental graph.
+
+The reference is incremental-batch, not streaming (SURVEY.md §2.10) —
+its incrementality is re-running imports with MERGE upserts. The
+streaming ingest here is the Spark-native generalization: new page
+files land in the input directory, each micro-batch runs the same
+parse/NER/edge derivation, and ``foreachBatch`` applies the
+MERGE-with-array-union semantics (reference named_entities.py:84-97 =
+sinks/tables.merge_appears_in) against the graph tables — so batch
+re-import and continuous ingest share one code path.
+
+``trigger(availableNow=True)`` drains what exists and stops — used by
+tests and backfills; drop it for continuous operation.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.documents import doc_nodes
+from ..operators.edges import appears_in_edges
+from ..operators.extract import PARSED_SCHEMA, parse_pages
+from ..operators.ner import DEFAULT_GAZETTEER, annotated_mentions
+from ..schemas import PAGES_SCHEMA
+from ..sinks.tables import merge_appears_in
+
+
+def stream_pages(spark: SparkSession, input_path: str) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_path)
+    )
+
+
+def start_graph_ingest(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming pages → docs table (append) + APPEARS_IN merge."""
+    docs_path = f"{out_dir}/docs"
+    appears_path = f"{out_dir}/appears_in"
+
+    pages = stream_pages(spark, input_path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        parsed = parse_pages(
+            batch_df, include_text=False, ner_gazetteer=DEFAULT_GAZETTEER
+        )
+        # small per-batch frames: one persist avoids a double parse
+        parsed = parsed.persist()
+        try:
+            docs = doc_nodes(parsed)
+            docs.drop("ann_mentions", "metadata").write.mode("append").parquet(
+                docs_path
+            )
+            appears = appears_in_edges(annotated_mentions(parsed))
+            if Path(appears_path).exists():
+                merged = merge_appears_in(spark, appears_path, appears)
+                # write-then-swap: parquet has no in-place merge
+                tmp = f"{appears_path}__tmp{batch_id}"
+                merged.write.mode("overwrite").parquet(tmp)
+                spark.read.parquet(tmp).write.mode("overwrite").parquet(
+                    appears_path
+                )
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                appears.write.mode("overwrite").parquet(appears_path)
+        finally:
+            parsed.unpersist()
+
+    writer = (
+        pages.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+__all__ = ["stream_pages", "start_graph_ingest", "PARSED_SCHEMA"]

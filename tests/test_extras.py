@@ -1,0 +1,122 @@
+"""Multimodal plumbing, LSH ANN recall, streaming ingest."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from datashare_extension_neo4j_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_images,
+    fake_image_decode,
+    frame_sample,
+    media_embeddings,
+)
+from datashare_extension_neo4j_spark.operators.similarity import (
+    cosine_topk,
+    lsh_ann_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (f"asset-{i}", f"doc-{i % 3}", "image" if i % 2 == 0 else "video",
+         hashlib.sha256(str(i).encode()).digest() * 4, {"source": "fixture"})
+        for i in range(10)
+    ]
+    rows.append(("asset-null", "doc-0", "image", None, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_images(media):
+    out = {r["asset_id"]: r.asDict() for r in decode_images(media).collect()}
+    assert len(out) == 6  # 5 images + null
+    a0 = out["asset-0"]
+    w, h, c, hx = fake_image_decode(hashlib.sha256(b"0").digest() * 4)
+    assert (a0["width"], a0["height"], a0["channels"], a0["content_hash"]) == (
+        w, h, c, hx,
+    )
+    assert out["asset-null"]["width"] == 0
+
+
+def test_decode_requires_real_raises(media):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("pillow present")
+    except ImportError:
+        pass
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        decode_images(media, require_real=True).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, Py4JJavaError
+    )
+
+
+def test_media_embeddings_and_frames(media):
+    emb = media_embeddings(media).collect()
+    assert all(len(r["embedding"]) == 16 for r in emb)
+    # deterministic across runs
+    emb2 = {r["asset_id"]: r["embedding"] for r in media_embeddings(media).collect()}
+    assert {r["asset_id"]: r["embedding"] for r in emb} == emb2
+    frames = frame_sample(media, every_n_seconds=10).collect()
+    assert frames and all(f["frame_ref"].endswith(str(f["frame_ts"])) for f in frames)
+
+
+def test_lsh_ann_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = {
+        (r["qid"], r["nid"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["qid"], r["nid"])
+        for r in lsh_ann_topk(emb, queries, dim=64, k=5, bits=4, tables=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # uniform random vectors are ANN's worst case; the point here is
+    # the bucket-join machinery + deterministic planes, not the recall
+    # ceiling of hyperplane LSH on noise
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_streaming_ingest(spark, tmp_path):
+    from datashare_extension_neo4j_spark.fixtures import reference_pages_pandas
+    from datashare_extension_neo4j_spark.schemas import PAGES_SCHEMA
+    from datashare_extension_neo4j_spark.streaming.ingest import start_graph_ingest
+
+    inp = str(tmp_path / "in")
+    pdf = reference_pages_pandas(n_docs=12)
+    spark.createDataFrame(pdf.iloc[:6], PAGES_SCHEMA).write.mode(
+        "append"
+    ).parquet(inp)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q = start_graph_ingest(spark, inp, out, ck)
+    q.awaitTermination(120)
+    docs1 = spark.read.parquet(f"{out}/docs").count()
+    assert docs1 == 6
+    a1 = spark.read.parquet(f"{out}/appears_in")
+    counts1 = {
+        (r["startId"], r["endId"]): r["mentionCount"] for r in a1.collect()
+    }
+    # second wave: remaining docs arrive; resume from checkpoint
+    spark.createDataFrame(pdf.iloc[6:], PAGES_SCHEMA).write.mode(
+        "append"
+    ).parquet(inp)
+    q2 = start_graph_ingest(spark, inp, out, ck)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{out}/docs").count() == 12
+    a2 = spark.read.parquet(f"{out}/appears_in")
+    counts2 = {
+        (r["startId"], r["endId"]): r["mentionCount"] for r in a2.collect()
+    }
+    # old edges preserved, new edges merged in
+    assert set(counts1) <= set(counts2)
+    assert len(counts2) > len(counts1)

@@ -67,6 +67,10 @@ def main() -> int:
     for name, (fn, oracle) in QUERIES.items():
         if only and name not in only:
             continue
+        if oracle is None:
+            n = fn(spark, sf_dir).count()
+            print(f"OK   {name}: rows-only check, rows={n}")
+            continue
         try:
             sdf = fn(spark, sf_dir).toPandas()
             n_s, c_s, h_s = canon(sdf)
