@@ -174,6 +174,7 @@ def materialize_pages(
     out_path: str,
     multiplier: int = 1,
     body_repeat: int = 1,
+    partitioned: bool = False,
 ) -> str:
     """Write the synthetic pages corpus to parquet once — benchmarks
     then read it like the real system reads the Iceberg pages table
@@ -191,7 +192,14 @@ def materialize_pages(
                 "utf-8",
             ),
         )
-    pages.write.mode("overwrite").parquet(out_path)
+    w = pages.write.mode("overwrite")
+    if partitioned:
+        # input_hint: pages partitioned by (lang, days(warc_ts)) — the
+        # Iceberg layout; here hive-style parquet partitions, so lang/
+        # date predicates prune at planning time
+        pages = pages.withColumn("warc_day", F.to_date("warc_ts"))
+        w = pages.write.mode("overwrite").partitionBy("lang", "warc_day")
+    w.parquet(out_path)
     return out_path
 
 

@@ -116,6 +116,54 @@ def email_edges(mentions: DataFrame) -> DataFrame:
     )
 
 
+def _split_arr(c: F.Column) -> F.Column:
+    return F.when(
+        c.isNotNull() & (c != ""), F.split(c, "\\|")
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def appears_in_from_parsed(parsed: DataFrame) -> DataFrame:
+    """Shuffle-free APPEARS_IN emission from the per-doc pre-aggregated
+    ann_edges carrier (extract.aggregate_doc_edges): the aggregation
+    key (norm, category, doc) never crosses documents, so the whole
+    reduction already happened inside the parse pass. This is a pure
+    projection — at 10^12 docs there is NO edge shuffle at all."""
+    e = parsed.select(
+        F.col("id").alias("documentId"), F.explode("ann_edges").alias("e")
+    ).where(F.col("e.type") == F.lit(NE_APPEARS_IN_DOC))
+    return e.select(
+        F.col("e.mentionNorm").alias("mentionNorm"),
+        F.col("e.category").alias("category"),
+        entity_id(F.col("e.mentionNorm"), F.col("e.category")).alias("startId"),
+        F.col("documentId").alias("endId"),
+        F.col("e.type").alias("type"),
+        _split_arr(F.col("e.mentionIds")).alias("mentionIds"),
+        _split_arr(F.col("e.mentionExtractors")).alias("mentionExtractors"),
+        F.transform(
+            _split_arr(F.col("e.offsets")), lambda x: x.cast("long")
+        ).alias("offsets"),
+        F.col("e.extractorLanguage").alias("extractorLanguage"),
+        F.col("e.mentionCount").alias("mentionCount"),
+    )
+
+
+def email_edges_from_parsed(parsed: DataFrame) -> DataFrame:
+    """Shuffle-free SENT/RECEIVED emission from ann_edges."""
+    e = parsed.select(
+        F.col("id").alias("documentId"), F.explode("ann_edges").alias("e")
+    ).where(
+        F.col("e.type").isin(EMAIL_SENT_TYPE, EMAIL_RECEIVED_TYPE)
+    )
+    return e.select(
+        F.col("e.mentionNorm").alias("mentionNorm"),
+        F.col("e.category").alias("category"),
+        entity_id(F.col("e.mentionNorm"), F.col("e.category")).alias("startId"),
+        F.col("documentId").alias("endId"),
+        F.col("e.type").alias("type"),
+        _split_arr(F.col("e.fields")).alias("fields"),
+    )
+
+
 def email_user_domain(entities: DataFrame) -> DataFrame:
     """emailUser/emailDomain split for EMAIL entities (reference
     named_entities.py:52-65): only when splitting on '@' yields exactly

@@ -102,6 +102,97 @@ _MENTION_STRUCT = T.StructType(
     ]
 )
 
+# per-doc pre-aggregated APPEARS_IN/SENT/RECEIVED edge struct: the
+# aggregation key (mentionNorm, category, documentId) never crosses
+# documents (reference imports.py:751-798), so the whole reduction
+# completes inside the parse pass — zero shuffle for edge emission.
+# Array fields are '|'-joined sorted-deduped strings, matching the CSV
+# serialization rules (to_neo4j.py:266-294).
+_EDGE_STRUCT = T.StructType(
+    [
+        T.StructField("category", T.StringType()),
+        T.StructField("mentionNorm", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("mentionIds", T.StringType()),
+        T.StructField("mentionExtractors", T.StringType()),
+        T.StructField("extractorLanguage", T.StringType()),
+        T.StructField("offsets", T.StringType()),
+        T.StructField("mentionCount", T.IntegerType()),
+        T.StructField("fields", T.StringType()),
+    ]
+)
+
+
+def aggregate_doc_edges(mentions: list[dict]) -> list[dict]:
+    """Per-document edge aggregation (A1/A2/A3/A7 semantics), pure
+    python over one doc's mention list. Mirrors the reference's
+    buffers: APPEARS_IN keyed on (norm, category); SENT/RECEIVED keyed
+    on (norm, category, type); ids sorted, extractors/offsets/fields
+    sorted sets; mentionCount = len(ids)."""
+    appears: dict[tuple, dict] = {}
+    emails: dict[tuple, dict] = {}
+    for m in mentions:
+        offs = [int(o) for o in (m.get("offsets") or "").split("|") if o != ""]
+        key = (m["mentionNorm"], m["category"])
+        a = appears.setdefault(
+            key,
+            {"ids": [], "extractors": set(), "offsets": set(), "lang": None},
+        )
+        a["ids"].append(m["id"])
+        if m.get("extractor"):
+            a["extractors"].add(m["extractor"])
+        a["offsets"].update(offs)
+        if a["lang"] is None and m.get("extractorLanguage"):
+            a["lang"] = m["extractorLanguage"]
+        hdr = m.get("emailHeaderField")
+        if hdr in _SENT_HEADERS:
+            etype = "SENT"
+        elif hdr in _RECEIVED_HEADERS:
+            etype = "RECEIVED"
+        else:
+            etype = None
+        if etype is not None:
+            e = emails.setdefault(key + (etype,), {"fields": set()})
+            e["fields"].add(hdr)
+    out = []
+    for (norm, cat), a in sorted(appears.items()):
+        out.append(
+            {
+                "category": cat,
+                "mentionNorm": norm,
+                "type": "APPEARS_IN",
+                "mentionIds": "|".join(sorted(a["ids"])),
+                "mentionExtractors": "|".join(sorted(a["extractors"])),
+                "extractorLanguage": a["lang"],
+                "offsets": "|".join(str(o) for o in sorted(a["offsets"])),
+                "mentionCount": len(a["ids"]),
+                "fields": None,
+            }
+        )
+    for (norm, cat, etype), e in sorted(emails.items()):
+        out.append(
+            {
+                "category": cat,
+                "mentionNorm": norm,
+                "type": etype,
+                "mentionIds": None,
+                "mentionExtractors": None,
+                "extractorLanguage": None,
+                "offsets": None,
+                "mentionCount": None,
+                "fields": "|".join(sorted(e["fields"])),
+            }
+        )
+    return out
+
+
+_SENT_HEADERS = {"tika_metadata_message_from", "tika_metadata_dc_creator"}
+_RECEIVED_HEADERS = {
+    "tika_metadata_message_bcc",
+    "tika_metadata_message_cc",
+    "tika_metadata_message_to",
+}
+
 PARSED_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
@@ -119,6 +210,7 @@ PARSED_SCHEMA = T.StructType(
         T.StructField("title", T.StringType()),
         T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
         T.StructField("ann_mentions", T.ArrayType(_MENTION_STRUCT)),
+        T.StructField("ann_edges", T.ArrayType(_EDGE_STRUCT)),
     ]
 )
 
@@ -170,6 +262,7 @@ def _parse_one(url, warc_ts, html, text, lang) -> dict:
         "title": m.get("title") or None,
         "metadata": doc_meta or None,
         "ann_mentions": mentions,
+        "ann_edges": aggregate_doc_edges(mentions),
     }
 
 
@@ -226,6 +319,7 @@ def parse_pages(
                         for m in found
                     ]
                     row["ann_mentions"] = row["ann_mentions"] + lean
+                    row["ann_edges"] = aggregate_doc_edges(row["ann_mentions"])
                 if not include_text:
                     row.pop("text")
                 rows.append(row)

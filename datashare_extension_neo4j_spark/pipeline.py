@@ -106,9 +106,25 @@ def build_graph(
         # J1: restrict mentions to existing documents (left semi).
         doc_ids = docs.select(F.col("id").alias("documentId"))
         mentions = mentions.join(doc_ids, "documentId", "left_semi")
-    ents = entity_nodes(mentions)
-    appears = appears_in_edges(mentions, salted=salted)
-    emails = email_edges(mentions)
+    if fuse_ner and "ann_edges" in parsed.columns:
+        # edges were pre-aggregated per doc inside the parse pass
+        # (key never crosses documents) — pure projections, no shuffle
+        from .operators.edges import (
+            appears_in_from_parsed,
+            email_edges_from_parsed,
+        )
+
+        appears = appears_in_from_parsed(parsed)
+        emails = email_edges_from_parsed(parsed)
+        ents = entity_nodes(
+            appears.select("mentionNorm", "category").unionByName(
+                emails.select("mentionNorm", "category")
+            )
+        )
+    else:
+        ents = entity_nodes(mentions)
+        appears = appears_in_edges(mentions, salted=salted)
+        emails = email_edges(mentions)
     return GraphBuild(
         docs=docs,
         doc_roots=roots,

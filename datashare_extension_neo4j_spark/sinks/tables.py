@@ -42,6 +42,89 @@ def materialize_graph(g: GraphBuild, out_dir: str) -> dict[str, str]:
     return paths
 
 
+def merge_docs(
+    spark: SparkSession, existing_path: str, updates: DataFrame
+) -> tuple[DataFrame, dict]:
+    """Incremental document upsert (reference documents.py:42-80:
+    MERGE on id, ON MATCH/CREATE SET all props — i.e. newest wins).
+    Returns (merged, counters) with the reference's ImportSummary
+    shape (imports.py:130-135): imported / nodes_created."""
+    old = spark.read.parquet(existing_path)
+    imported = updates.count()
+    created = updates.join(old, "id", "left_anti").count()
+    kept = old.join(updates.select("id"), "id", "left_anti")
+    merged = kept.unionByName(updates, allowMissingColumns=True)
+    return merged, {"imported": imported, "nodes_created": created}
+
+
+def overwrite_parquet(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """Safe read-modify-write for parquet (write tmp, swap). Iceberg
+    MERGE INTO replaces this when a catalog is configured."""
+    import shutil
+
+    tmp = f"{path}__tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def incremental_import(
+    spark: SparkSession,
+    pages: DataFrame,
+    run_dir: str,
+    project: str = "test_project",
+) -> dict:
+    """Incremental run against an existing run_dir (the reference's
+    POST /full-imports re-run semantics, SURVEY.md §3.1): documents
+    upserted by id, HAS_PARENT edges set-merged, APPEARS_IN edges
+    array-union-merged, entities deduped. Returns counters."""
+    from ..pipeline import build_graph
+
+    g = build_graph(
+        pages, project=project, use_rule_ner=True, fuse_ner=True,
+        include_text=False, cache=False,
+    )
+    docs_path = f"{run_dir}/docs"
+    merged_docs, doc_counters = merge_docs(
+        spark, docs_path, g.docs.drop("ann_mentions", "ann_edges")
+    )
+    overwrite_parquet(spark, merged_docs, docs_path)
+
+    roots_path = f"{run_dir}/doc_roots"
+    old_roots = spark.read.parquet(roots_path)
+    new_roots = g.doc_roots
+    roots_created = new_roots.join(old_roots, ["src", "dst"], "left_anti").count()
+    overwrite_parquet(
+        spark,
+        old_roots.unionByName(new_roots).dropDuplicates(["src", "dst"]),
+        roots_path,
+    )
+
+    appears_path = f"{run_dir}/appears_in"
+    pre = spark.read.parquet(appears_path).count()
+    merged = merge_appears_in(spark, appears_path, g.appears_in)
+    overwrite_parquet(spark, merged, appears_path)
+    post = spark.read.parquet(appears_path).count()
+
+    ents_path = f"{run_dir}/entities"
+    old_ents = spark.read.parquet(ents_path)
+    ents_created = g.entities.join(
+        old_ents, ["mentionNorm", "category"], "left_anti"
+    ).count()
+    overwrite_parquet(
+        spark,
+        old_ents.unionByName(g.entities).dropDuplicates(
+            ["mentionNorm", "category"]
+        ),
+        ents_path,
+    )
+    return {
+        **doc_counters,
+        "relationships_created": roots_created + (post - pre),
+        "entities_created": ents_created,
+    }
+
+
 def merge_appears_in(
     spark: SparkSession, existing_path: str, updates: DataFrame
 ) -> DataFrame:
