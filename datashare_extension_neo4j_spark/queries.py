@@ -662,6 +662,157 @@ FROM votes GROUP BY doc_id
 """
 
 
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-shingle Jaccard over blocked pairs: candidates are
+    documents sharing (lang, length bucket) — a deterministic blocking
+    key that bounds the pair space (vs LSH banding in
+    dedup_minhash_pairs). Emits pairs with jaccard ≥ 0.3."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", (F.col("n_chars") - F.col("n_chars") % 50).alias("bucket")
+    )
+    sh = _shingles(spark, sf_dir).withColumnRenamed("shingle", "word")
+    blocked = d.alias("a").join(
+        d.alias("b"),
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("docA"), F.col("b.doc_id").alias("docB")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        blocked.join(sh.alias("wa"), F.col("docA") == F.col("wa.doc_id"))
+        .join(
+            sh.alias("wb"),
+            (F.col("docB") == F.col("wb.doc_id"))
+            & (F.col("wa.word") == F.col("wb.word")),
+        )
+        .groupBy("docA", "docB")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.alias("sa"), F.col("docA") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("docB") == F.col("sb.doc_id"))
+        .select(
+            "docA",
+            "docB",
+            F.round(
+                F.col("i") / (F.col("sa.sz") + F.col("sb.sz") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.3)
+    )
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+WITH sh AS ({_SHINGLES_SQL}
+), d AS (
+  SELECT doc_id, lang, n_chars - n_chars % 50 AS bucket FROM documents
+), blocked AS (
+  SELECT a.doc_id AS docA, b.doc_id AS docB
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.docA, c.docB, count(*) AS i
+  FROM blocked c
+  JOIN sh wa ON wa.doc_id = c.docA
+  JOIN sh wb ON wb.doc_id = c.docB AND wb.word = wa.word
+  GROUP BY c.docA, c.docB
+)
+SELECT i.docA, i.docB,
+       round(i.i / (sa.sz + sb.sz - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.docA
+JOIN sizes sb ON sb.doc_id = i.docB
+WHERE round(i.i / (sa.sz + sb.sz - i.i), 6) >= 0.3
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality signals: type-token ratio, stopword ratio, mean
+    token length, short-doc flag — integer-exact ratios rounded 6dp."""
+    d = _docs(spark, sf_dir)
+    tokens = F.split(F.col("text"), " ")
+    n = F.size(tokens)
+    stop = F.size(F.filter(tokens, lambda t: t.isin("the", "a", "row", "data")))
+    mean_len = (F.length("text") - (n - 1)) / n  # chars minus separators
+    return d.select(
+        "doc_id",
+        F.round(F.size(F.array_distinct(tokens)) / n, 6).alias("ttr"),
+        F.round(stop / n, 6).alias("stopwordRatio"),
+        F.round(mean_len, 6).alias("meanTokenLen"),
+        (F.col("n_chars") < 100).alias("tooShort"),
+    )
+
+
+ORACLE_QUALITY_SCORE = """
+SELECT doc_id,
+  round(len(list_distinct(string_split(text,' '))) * 1.0
+        / len(string_split(text,' ')), 6) AS ttr,
+  round(len(list_filter(string_split(text,' '),
+        t -> t IN ('the','a','row','data'))) * 1.0
+        / len(string_split(text,' ')), 6) AS stopwordRatio,
+  round((length(text) - (len(string_split(text,' ')) - 1)) * 1.0
+        / len(string_split(text,' ')), 6) AS meanTokenLen,
+  n_chars < 100 AS tooShort
+FROM documents
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function demo on the events stream table: sessions split
+    on >30 min inactivity per user; per-session counts and value sums."""
+    from pyspark.sql import Window as W
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    e2 = e.withColumn(
+        "newSession",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "sessionId",
+        F.sum("newSession").over(
+            w.rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        e2.groupBy("user_id", "sessionId")
+        .agg(
+            F.count("*").cast("long").alias("nEvents"),
+            F.round(F.sum("value"), 4).alias("totalValue"),
+            F.min("event_id").alias("firstEvent"),
+        )
+        .select("user_id", "sessionId", "nEvents", "totalValue", "firstEvent")
+    )
+
+
+ORACLE_EVENTS_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, value, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS newSession
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(newSession) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sessionId
+  FROM g
+)
+SELECT user_id, CAST(sessionId AS BIGINT) AS sessionId,
+       CAST(count(*) AS BIGINT) AS nEvents,
+       round(sum(value), 4) AS totalValue,
+       min(event_id) AS firstEvent
+FROM s GROUP BY user_id, sessionId
+"""
+
+
 # ------------------------------------------------- similarity search
 
 
@@ -1044,6 +1195,9 @@ QUERIES = {
     "dedup_minhash_sig": (dedup_minhash_sig, ORACLE_DEDUP_MINHASH_SIG),
     "dedup_minhash_pairs": (dedup_minhash_pairs, ORACLE_DEDUP_MINHASH_PAIRS),
     "dedup_simhash": (dedup_simhash, ORACLE_DEDUP_SIMHASH),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD),
+    "quality_score": (quality_score, ORACLE_QUALITY_SCORE),
+    "events_sessionize": (events_sessionize, ORACLE_EVENTS_SESSIONIZE),
     "ann_cosine_topk": (ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "media_decode": (media_decode, ORACLE_MEDIA_DECODE),
