@@ -69,6 +69,7 @@ def main() -> None:
         use_rule_ner=True,
         fuse_ner=True,
         include_text=False,
+        emit_mentions=False,
         checkpoint_dir=f"{work}/ck",
     )
     from datashare_extension_neo4j_spark.sinks.tables import materialize_graph

@@ -270,6 +270,7 @@ def parse_pages(
     pages: DataFrame,
     include_text: bool = True,
     ner_gazetteer: dict | None = None,
+    emit_mentions: bool = True,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → parsed document rows.
 
@@ -286,9 +287,14 @@ def parse_pages(
     byte-identical text invariant is still exercised because mention
     offsets are computed against the extracted text in-pass.
     """
-    schema = PARSED_SCHEMA
+    drop = set()
     if not include_text:
-        schema = T.StructType([f for f in PARSED_SCHEMA.fields if f.name != "text"])
+        drop.add("text")
+    if not emit_mentions:
+        # edge emission uses the pre-aggregated ann_edges only; the
+        # raw mention array is dead weight on the Arrow/parquet path
+        drop.add("ann_mentions")
+    schema = T.StructType([f for f in PARSED_SCHEMA.fields if f.name not in drop])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .ner import _extract_doc  # late import: executor-side
@@ -320,8 +326,8 @@ def parse_pages(
                     ]
                     row["ann_mentions"] = row["ann_mentions"] + lean
                     row["ann_edges"] = aggregate_doc_edges(row["ann_mentions"])
-                if not include_text:
-                    row.pop("text")
+                for d in drop:
+                    row.pop(d)
                 rows.append(row)
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 

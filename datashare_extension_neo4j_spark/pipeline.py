@@ -62,6 +62,7 @@ def build_graph(
     cache: bool = True,
     fuse_ner: bool = False,
     include_text: bool = True,
+    emit_mentions: bool = True,
     checkpoint_dir: str | None = None,
 ) -> GraphBuild:
     if fuse_ner:
@@ -73,6 +74,7 @@ def build_graph(
             pages,
             include_text=include_text,
             ner_gazetteer=DEFAULT_GAZETTEER if use_rule_ner else None,
+            emit_mentions=emit_mentions,
         )
         use_rule_ner = False
         # fused mentions are born from their own document row — the
@@ -98,7 +100,13 @@ def build_graph(
         parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
     docs = doc_nodes(parsed, project=project)
     roots = has_parent_edges(docs)
-    mentions = annotated_mentions(parsed)
+    if "ann_mentions" in parsed.columns:
+        mentions = annotated_mentions(parsed)
+    else:
+        # emit_mentions=False: raw mention stream not materialized
+        from .schemas import MENTION_SCHEMA
+
+        mentions = parsed.sparkSession.createDataFrame([], MENTION_SCHEMA)
     if use_rule_ner:
         rb = rule_based_mentions(docs, id_col="id", text_col="text", lang_col="lang")
         mentions = mentions.unionByName(rb)

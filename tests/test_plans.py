@@ -103,3 +103,20 @@ def test_alias_clustering(spark, n):
     assert set(c["aliases"]) <= {"john smith"}
     d = out[("completely different", "Person")]
     assert d["canonicalNorm"] == "completely different"
+
+
+def test_read_pages_source(spark, tmp_path):
+    from datashare_extension_neo4j_spark.sources.pages import (
+        count_pages,
+        read_pages,
+    )
+
+    out = str(tmp_path / "pages_src")
+    materialize_pages(
+        spark, "/root/testdata/sf0.001", out, multiplier=1, partitioned=True
+    )
+    df = read_pages(spark, out, langs=["en", "de"], columns=["url", "lang"])
+    assert set(df.columns) == {"url", "lang"}
+    langs = {r["lang"] for r in df.select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}
+    assert count_pages(spark, out) > df.count() > 0

@@ -55,7 +55,8 @@ shutil.rmtree("/tmp/_scaling_ck", ignore_errors=True)
 shutil.rmtree("/tmp/_scaling_out", ignore_errors=True)
 t0 = time.perf_counter()
 g = build_graph(pages, use_rule_ner=True, fuse_ner=True,
-                include_text=False, checkpoint_dir="/tmp/_scaling_ck")
+                include_text=False, emit_mentions=False,
+                checkpoint_dir="/tmp/_scaling_ck")
 materialize_graph(g, "/tmp/_scaling_out")
 elapsed = time.perf_counter() - t0
 n_docs = spark.read.parquet("/tmp/_scaling_out/docs").count()
@@ -74,8 +75,18 @@ def run(pages: str, n_exec: int, cores_per: int) -> dict:
     code = RUN_SNIPPET.format(
         repo=REPO, pages=pages, n_exec=n_exec, cores_per=cores_per
     )
+    # pin the whole run to exactly its core budget: on a shared box the
+    # small-cluster run would otherwise borrow the idle cores (its JVM
+    # threads + python workers spill over), inflating N's throughput —
+    # a real N-executor cluster has no spare machine to borrow.
+    budget = n_exec * cores_per
+    cmd = [sys.executable, "-c", code]
+    import shutil as _sh
+
+    if _sh.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{budget - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
+        cmd, capture_output=True, text=True, timeout=1800
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:
@@ -83,12 +94,19 @@ def run(pages: str, n_exec: int, cores_per: int) -> dict:
     return json.loads(lines[-1])
 
 
+def best_of(trials: int, pages: str, n_exec: int, cores_per: int) -> dict:
+    """Min-elapsed over trials — sandbox noise only ever slows a run."""
+    results = [run(pages, n_exec, cores_per) for _ in range(trials)]
+    return min(results, key=lambda r: r["elapsed"])
+
+
 def main() -> None:
     pages = sys.argv[1] if len(sys.argv) > 1 else "/tmp/pages_bench3"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     cores_per = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-    r_n = run(pages, n, cores_per)
-    r_4n = run(pages, n * 4, cores_per)
+    trials = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    r_n = best_of(trials, pages, n, cores_per)
+    r_4n = best_of(trials, pages, n * 4, cores_per)
     eff = (r_4n["docs_per_sec"] / r_n["docs_per_sec"]) / 4
     stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
     md = f"""# BENCH/BASELINE — measured numbers ({stamp})
