@@ -394,7 +394,8 @@ ORDER BY path, id LIMIT 10
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: md5(text) groups with >1 member."""
+    """Exact dedup: md5(text) hash-groupBy; every group with its size,
+    keeper (min doc_id), and a duplicate flag."""
     d = _docs(spark, sf_dir)
     return (
         d.groupBy(F.md5(F.col("text")).alias("textHash"))
@@ -402,15 +403,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("nDocs"),
             F.min("doc_id").alias("keepDocId"),
         )
-        .where(F.col("nDocs") > 1)
+        .withColumn("isDup", F.col("nDocs") > 1)
     )
 
 
 ORACLE_DEDUP_EXACT = """
 SELECT md5(text) AS textHash,
        CAST(count(*) AS BIGINT) AS nDocs,
-       min(doc_id) AS keepDocId
-FROM documents GROUP BY md5(text) HAVING count(*) > 1
+       min(doc_id) AS keepDocId,
+       count(*) > 1 AS isDup
+FROM documents GROUP BY md5(text)
 """
 
 
@@ -881,7 +883,7 @@ SELECT qid, nid, rank, round(cos, 6) AS cosine FROM ranked WHERE rank <= 5
 
 
 def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.95) for probe set
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4 — threshold tuned for the random synthetic embeddings; real near-dup corpora use ~0.95) for probe set
     vec_id < 100 vs all — the brute-force baseline of the LSH path."""
     e = _emb(spark, sf_dir)
     probe = e.where(F.col("vec_id") < 100).select(
@@ -894,7 +896,7 @@ def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("bid"),
             F.round(_cosine(F.col("av"), F.col("embedding")), 6).alias("cosine"),
         )
-        .where(F.col("cosine") >= 0.95)
+        .where(F.col("cosine") >= 0.4)
     )
 
 
@@ -910,7 +912,7 @@ FROM probe p, embeddings e
 WHERE e.vec_id > p.aid
   AND round(list_dot_product(CAST(p.av AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
             (sqrt(list_dot_product(CAST(p.av AS DOUBLE[]), CAST(p.av AS DOUBLE[]))) *
-             sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) >= 0.95
+             sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) >= 0.4
 """
 
 
@@ -1162,8 +1164,12 @@ ORDER BY revenue DESC, c_custkey ASC LIMIT 20
 
 
 def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti demo: customers with no orders."""
-    o = _orders(spark, sf_dir).select("o_custkey")
+    """Left-anti demo: customers with no high-value (>150k) order."""
+    o = (
+        _orders(spark, sf_dir)
+        .where(F.col("o_totalprice") > 150000)
+        .select("o_custkey")
+    )
     c = _customer(spark, sf_dir)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
@@ -1173,7 +1179,9 @@ def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ANTI_JOIN = """
 SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders
+  WHERE o_totalprice > 150000 AND o_custkey IS NOT NULL)
 """
 
 
