@@ -1185,6 +1185,77 @@ WHERE c_custkey NOT IN (
 """
 
 
+def rollup_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets demo: order counts by (status, priority) with
+    ROLLUP subtotals."""
+    o = _orders(spark, sf_dir)
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("nOrders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "nOrders",
+            "revenue",
+        )
+    )
+
+
+ORACLE_ROLLUP_DEMO = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(count(*) AS BIGINT) AS nOrders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def pivot_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot demo: per-returnflag quantity by linestatus columns."""
+    li = _lineitem(spark, sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .select(
+            "l_returnflag",
+            F.coalesce("O", F.lit(0.0)).alias("qty_O"),
+            F.coalesce("F", F.lit(0.0)).alias("qty_F"),
+        )
+    )
+
+
+ORACLE_PIVOT_DEMO = """
+SELECT l_returnflag,
+       coalesce(round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2), 0.0) AS qty_O,
+       coalesce(round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2), 0.0) AS qty_F
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def percentiles_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation) of event values
+    per event type."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+ORACLE_PERCENTILES_DEMO = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------- registry
 
 QUERIES = {
@@ -1216,4 +1287,7 @@ QUERIES = {
     "tpch_q1": (tpch_q1, ORACLE_TPCH_Q1),
     "join_topn": (join_topn, ORACLE_JOIN_TOPN),
     "anti_join": (anti_join, ORACLE_ANTI_JOIN),
+    "rollup_demo": (rollup_demo, ORACLE_ROLLUP_DEMO),
+    "pivot_demo": (pivot_demo, ORACLE_PIVOT_DEMO),
+    "percentiles_demo": (percentiles_demo, ORACLE_PERCENTILES_DEMO),
 }
