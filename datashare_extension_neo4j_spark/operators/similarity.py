@@ -91,6 +91,80 @@ def lsh_signature(
     return sig
 
 
+def ivf_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: k-means coarse quantizer (pyspark.ml, seeded) →
+    every vector assigned to its nearest centroid list; queries probe
+    the ``n_probe`` nearest lists and re-rank candidates exactly.
+    The list assignment shards by centroid id like any other key, so
+    candidate generation is a bucket join — the IVF scale path."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = vectors.select(array_to_vector(F.col(vec_col)).alias("features"))
+    km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())
+    ]
+
+    def nearest_lists(vec: Column, n: int) -> Column:
+        """ids of the n closest centroids (exact distances — centroid
+        count is tiny, baked as literals into the plan)."""
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            vec,
+                            F.array(*[F.lit(x) for x in c]),
+                            lambda a, b: (a.cast("double") - b)
+                            * (a.cast("double") - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(i).alias("list_id"),
+                )
+                for i, c in centroids
+            ]
+        )
+        return F.slice(F.array_sort(dists), 1, n)
+
+    v = vectors.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nv"),
+        F.element_at(nearest_lists(F.col(vec_col), 1), 1)
+        .getField("list_id")
+        .alias("list_id"),
+    )
+    q = queries.select(
+        "qid",
+        "qv",
+        F.explode(
+            F.transform(
+                nearest_lists(F.col("qv"), n_probe), lambda s: s.getField("list_id")
+            )
+        ).alias("list_id"),
+    )
+    cand = v.join(F.broadcast(q), "list_id").where(F.col("nid") != F.col("qid"))
+    scored = cand.select(
+        "qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos")
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def lsh_ann_topk(
     vectors: DataFrame,
     queries: DataFrame,

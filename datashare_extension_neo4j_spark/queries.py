@@ -1072,6 +1072,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "nid", "rank", F.round("cos", 6).alias("cosine"))
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (k-means coarse quantizer + probe + exact
+    re-rank). Approximate → rows-only driver check; recall asserted in
+    tests/test_extras.py."""
+    from .operators.similarity import ivf_ann_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    out = ivf_ann_topk(e, q, k=5, n_lists=8, n_probe=4)
+    return out.select("qid", "nid", "rank", F.round("cos", 6).alias("cosine"))
+
+
 def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents → synthetic binary image column
     → mapInPandas decode (deterministic fake kernel). The decode
@@ -1279,6 +1293,7 @@ QUERIES = {
     "events_sessionize": (events_sessionize, ORACLE_EVENTS_SESSIONIZE),
     "ann_cosine_topk": (ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
     "ann_lsh_topk": (ann_lsh_topk, None),
+    "ann_ivf_topk": (ann_ivf_topk, None),
     "media_decode": (media_decode, ORACLE_MEDIA_DECODE),
     "embed_neardup": (embed_neardup, ORACLE_EMBED_NEARDUP),
     "text_stats": (text_stats, ORACLE_TEXT_STATS),

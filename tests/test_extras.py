@@ -120,3 +120,23 @@ def test_streaming_ingest(spark, tmp_path):
     # old edges preserved, new edges merged in
     assert set(counts1) <= set(counts2)
     assert len(counts2) > len(counts1)
+
+
+def test_ivf_ann_recall(spark):
+    from datashare_extension_neo4j_spark.operators.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = {
+        (r["qid"], r["nid"]) for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["qid"], r["nid"])
+        for r in ivf_ann_topk(
+            emb, queries, k=5, n_lists=8, n_probe=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
