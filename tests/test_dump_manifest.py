@@ -153,3 +153,27 @@ def test_merge_appears_in(spark, tmp_path):
     row = merged2.where(F.col("mentionCount") >= 2).collect()[0]
     assert "zzz-new-mention" in row["mentionIds"]
     assert row["mentionIds"] == sorted(row["mentionIds"])
+
+
+def test_manifest_stale_input_reruns(spark, tmp_path):
+    """Changing the input invalidates the fingerprint → stage re-runs."""
+    import os
+
+    from datashare_extension_neo4j_spark.fixtures import reference_pages_pandas
+    from datashare_extension_neo4j_spark.schemas import PAGES_SCHEMA
+
+    pages_path = str(tmp_path / "pages")
+    spark.createDataFrame(
+        reference_pages_pandas(n_docs=4), schema=PAGES_SCHEMA
+    ).write.mode("overwrite").parquet(pages_path)
+    run_dir = str(tmp_path / "run")
+    run_pipeline(spark, pages_path, run_dir)
+    assert spark.read.parquet(f"{run_dir}/docs").count() == 4
+    # grow the input: fingerprint changes, pipeline re-runs end to end
+    spark.createDataFrame(
+        reference_pages_pandas(n_docs=9), schema=PAGES_SCHEMA
+    ).write.mode("overwrite").parquet(pages_path)
+    run_pipeline(spark, pages_path, run_dir)
+    assert spark.read.parquet(f"{run_dir}/docs").count() == 9
+    m = Manifest(run_dir)
+    assert m.is_complete("parse", [pages_path])
