@@ -16,6 +16,28 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _joined_arrays(appears_in: DataFrame) -> DataFrame:
+    """'|'-join the array columns (parity rule: arrays are emitted as
+    joined sorted strings — the driver's canonicalizer sorts with
+    pandas, which cannot hash list cells)."""
+    from pyspark.sql import functions as F
+
+    return appears_in.select(
+        "mentionNorm",
+        "category",
+        "startId",
+        "endId",
+        "type",
+        F.array_join("mentionIds", "|").alias("mentionIds"),
+        F.array_join("mentionExtractors", "|").alias("mentionExtractors"),
+        F.array_join(
+            F.transform(F.col("offsets"), lambda x: x.cast("string")), "|"
+        ).alias("offsets"),
+        "extractorLanguage",
+        "mentionCount",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from datashare_extension_neo4j_spark.fixtures import pages_from_documents
@@ -23,7 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     pages = pages_from_documents(spark, "/root/testdata/sf0.001")
     g = build_graph(pages, use_rule_ner=True, cache=False)
-    return g.appears_in
+    return _joined_arrays(g.appears_in)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -42,7 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = build_graph(
             pages_from_documents(spark, sf_dir), use_rule_ner=True, cache=False
         )
-        return g.appears_in
+        return _joined_arrays(g.appears_in)
 
     out["kg_full_pipeline"] = kg_full_pipeline
     return out

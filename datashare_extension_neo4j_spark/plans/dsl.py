@@ -55,8 +55,15 @@ def _node_struct(df: DataFrame, var: str) -> DataFrame:
     )
 
 
-def _match_node(g: GraphTables, spec: dict) -> tuple[str, DataFrame]:
-    var = spec.get("name")
+def _match_node(
+    g: GraphTables, spec: dict, anon: str | None = None
+) -> tuple[str, DataFrame]:
+    """Filtered node scan bound to the pattern variable. Anonymous
+    nodes (reference fixture path_pattern_without_names_and_types →
+    ``MATCH ()-->()``) get an internal ``_anon*`` name that
+    compile_query drops from the output (Cypher's RETURN * only
+    returns named variables)."""
+    var = spec.get("name") or anon
     if not var:
         raise DSLError("pattern node must be named")
     df = g.nodes
@@ -81,24 +88,30 @@ def _compile_path(g: GraphTables, path: dict) -> tuple[DataFrame, bool]:
     if not nodes:
         raise DSLError("path must have at least one node")
     if len(rels) != len(nodes) - 1:
-        # arity check mirrors Neo4jUtils.java:443-458
+        # message mirrors Neo4jUtils.java:443-458 (verbatim-fixture
+        # parity: tests replay path_pattern_with_*_relationships.json)
         raise DSLError(
-            f"invalid path: {len(nodes)} nodes require {len(nodes) - 1}"
-            f" relationships, got {len(rels)}"
+            "Invalid number of nodes and relationships, found"
+            f" {len(nodes)} nodes and {len(rels)} relationships"
         )
-    var0, df = _match_node(g, nodes[0])
+    var0, df = _match_node(g, nodes[0], anon="_anon0")
     bound = [var0]
     for i, rel in enumerate(rels):
-        nvar, ndf = _match_node(g, nodes[i + 1])
+        nvar, ndf = _match_node(g, nodes[i + 1], anon=f"_anon{i + 1}")
         rel_var = rel.get("name") or f"_rel{i}"
         direction = rel.get("direction", "between")
         e = _edge_filtered(g, rel)
         estruct = F.struct(
             F.col("src"), F.col("dst"), F.col("type"), F.col("props")
         ).alias(rel_var)
-        if direction == "from":
+        # reference semantics (Neo4jUtils.java:793-804, cypher-dsl):
+        # TO   = (left)-[rel]->(right)  — edge src is the LEFT node
+        # FROM = (left)<-[rel]-(right)  — edge src is the RIGHT node
+        # (verbatim fixtures: path_pattern_from.json compiles to
+        #  MATCH (doc)<-[rel:`APPEARS_IN`]-(person))
+        if direction == "to":
             e = e.select(estruct, F.col("src").alias("_a"), F.col("dst").alias("_b"))
-        elif direction == "to":
+        elif direction == "from":
             e = e.select(estruct, F.col("dst").alias("_a"), F.col("src").alias("_b"))
         elif direction == "between":
             e1 = e.select(
@@ -156,16 +169,27 @@ def compile_query(
 ) -> DataFrame:
     """Query{matches, where, orderBy, limit} → DataFrame with one
     struct column per bound variable."""
+    # reference error messages, Neo4jUtils.java:119-121
     matches = query.get("matches")
+    if matches is None:
+        raise DSLError("missing matches")
     if not matches:
-        raise DSLError("query must have at least one match")
+        raise DSLError("empty matches")
     df: DataFrame | None = None
     for m in matches:
         pdf, optional = _compile_path(g, m["path"])
         if df is None:
             if optional:
-                raise DSLError("first match cannot be optional")
-            df = pdf
+                # leading OPTIONAL MATCH (fixture query_optional_match
+                # → "OPTIONAL MATCH (person:`Person`) RETURN *"): all
+                # matches, or ONE all-null row when there are none —
+                # a single-row dummy left-joined on TRUE
+                dummy = pdf.sparkSession.range(1).select(
+                    F.lit(1).alias("_one")
+                )
+                df = dummy.join(pdf, F.lit(True), "left").drop("_one")
+            else:
+                df = pdf
         else:
             shared = [c for c in pdf.columns if c in df.columns]
             how = "left" if optional else "inner"
@@ -188,16 +212,29 @@ def compile_query(
     where = query.get("where")
     if where:
         df = df.where(_compile_where(where))
+    # all keys in ONE orderBy — successive .orderBy() calls each replace
+    # the previous global sort, keeping only the last key (the reference
+    # applies the whole OrderBy list in a single statement,
+    # Neo4jUtils.java:236-244)
+    sort_cols = []
     for ob in query.get("orderBy") or []:
         prop = F.col(f"{ob['property']['variable']}.props").getItem(
             ob["property"]["name"]
         )
-        df = df.orderBy(
+        sort_cols.append(
             prop.desc() if ob.get("direction", "asc").lower() == "desc" else prop.asc()
         )
+    if sort_cols:
+        df = df.orderBy(*sort_cols)
     limit = query.get("limit")
     eff = min(limit, default_limit) if limit is not None else default_limit
-    return df.limit(eff)
+    df = df.limit(eff)
+    # anonymous pattern parts are traversed but not returned (RETURN *)
+    named = [
+        c for c in df.columns
+        if not (c.startswith("_anon") or c.startswith("_rel"))
+    ]
+    return df.select(*named) if len(named) < len(df.columns) else df
 
 
 DUMP_EDGE_TYPES = ["APPEARS_IN", "SENT", "RECEIVED"]
@@ -215,11 +252,14 @@ def compile_dump_query(
     de-duplicated (nodes, edges) DataFrames of the subgraph."""
     queries = (dump or {}).get("queries") or []
     if len(queries) > 1:
-        raise DSLError("dump query must contain exactly one query")
+        # reference message, Objects.java DumpQuery.asValidated
+        raise DSLError("expected a single query matching documents to be specified")
     if queries:
         q = dict(queries[0])
-        if not q.get("matches"):
-            raise DSLError("dump query must have at least one match")
+        if q.get("matches") is None:
+            raise DSLError("missing matches")
+        if not q["matches"]:
+            raise DSLError("empty matches")
     else:
         # default: MATCH (doc:Document) ORDER BY doc.path ASC LIMIT k
         q = {

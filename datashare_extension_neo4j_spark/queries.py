@@ -609,41 +609,31 @@ _SIMHASH_BITS = 16
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document: bit i votes on the high bit of the
-    i-th hex nibble of md5(word) over the distinct word set."""
+    i-th hex nibble of md5(word) over the distinct word set.
+
+    All 16 bit-votes are conditional sums inside ONE groupBy(doc_id) —
+    no crossJoin with a bits table (which would shuffle 16× the word
+    stream), one Exchange of doc-sized rows."""
     w = (
         _words(_docs(spark, sf_dir))
         .where(F.col("word") != "")
         .select("doc_id", F.md5("word").alias("h"))
         .distinct()
     )
-    bits = spark.range(_SIMHASH_BITS).select(F.col("id").alias("bit"))
-    votes = (
-        w.crossJoin(F.broadcast(bits))
-        .select(
-            "doc_id",
-            "bit",
-            F.when(
-                F.substring(F.col("h"), (F.col("bit") + 1).cast("int"), 1).isin(
-                    "8", "9", "a", "b", "c", "d", "e", "f"
-                ),
-                1,
-            )
-            .otherwise(-1)
-            .alias("v"),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("v").alias("s"))
+    high = lambda i: F.when(  # noqa: E731
+        F.substring(F.col("h"), i + 1, 1).isin(
+            "8", "9", "a", "b", "c", "d", "e", "f"
+        ),
+        1,
+    ).otherwise(-1)
+    votes = w.groupBy("doc_id").agg(
+        *[F.sum(high(i)).alias(f"s{i}") for i in range(_SIMHASH_BITS)]
     )
-    return (
-        votes.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("bit"))).otherwise(0)
-            )
-            .cast("long")
-            .alias("simhash")
-        )
-    )
+    sim = None
+    for i in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 ORACLE_DEDUP_SIMHASH = f"""

@@ -46,6 +46,16 @@ def _arr(col: str) -> F.Column:
 
 
 def doc_nodes_csv_lines(docs: DataFrame) -> DataFrame:
+    """Body rows for docs.csv.
+
+    Bug-compat note: the reference's bulk-CSV mapping SWAPS
+    createdAt/modifiedAt — ``_doc_nodes_header_and_mapping`` maps
+    DOC_CREATED_AT under the ``modifiedAt:DATETIME`` header and vice
+    versa (reference core/imports.py:383-387; its Cypher MERGE path,
+    core/neo4j/documents.py:61-64, does NOT swap). Its goldens mask
+    this by using identical timestamps. We mirror the swap so exports
+    are byte-identical to real reference exports; asserted by
+    tests/test_csvfmt.py::test_doc_csv_created_modified_swap."""
     cols = [
         F.col("id"),
         F.col("dirname"),
@@ -56,8 +66,8 @@ def doc_nodes_csv_lines(docs: DataFrame) -> DataFrame:
         F.col("path"),
         F.col("title"),
         F.col("urlSuffix"),
-        F.col("createdAt"),
-        F.col("modifiedAt"),
+        F.col("modifiedAt"),  # under the createdAt:DATETIME header
+        F.col("createdAt"),  # under the modifiedAt:DATETIME header
         F.lit(DOC_NODE),
     ]
     return docs.select(neo4j_csv_line(cols).alias("line"))
@@ -185,9 +195,11 @@ def export_graph_csvs(
             for p in sorted(d.iterdir()):
                 if p.name != tar_path.name:
                     tf.add(p, arcname=p.name)
-        # reference deletes CSVs as they are compressed (imports.py:878-909)
+        # reference destroys only node/relationship BODY csvs as they
+        # are compressed; header files stay on disk (and are also added
+        # to the tar) — imports.py:893-909
         for p in d.iterdir():
-            if p.suffix == ".csv":
+            if p.suffix == ".csv" and not p.name.endswith("-header.csv"):
                 p.unlink()
         metadata["tarPath"] = str(tar_path)
     return metadata

@@ -121,6 +121,12 @@ def incremental_import(
     overwrite_parquet(spark, merged, appears_path)
     post = spark.read.parquet(appears_path).count()
 
+    emails_path = f"{run_dir}/emails"
+    emails_pre = spark.read.parquet(emails_path).count()
+    merged_emails = merge_emails(spark, emails_path, g.emails)
+    overwrite_parquet(spark, merged_emails, emails_path)
+    emails_post = spark.read.parquet(emails_path).count()
+
     ents_path = f"{run_dir}/entities"
     old_ents = spark.read.parquet(ents_path)
     ents_created = g.entities.join(
@@ -135,9 +141,29 @@ def incremental_import(
     )
     return {
         **doc_counters,
-        "relationships_created": roots_created + (post - pre),
+        "relationships_created": roots_created
+        + (post - pre)
+        + (emails_post - emails_pre),
         "entities_created": ents_created,
     }
+
+
+def merge_emails(
+    spark: SparkSession, existing_path: str, updates: DataFrame
+) -> DataFrame:
+    """Incremental MERGE for SENT/RECEIVED edges: ON MATCH union the
+    ``fields`` header array (reference named_entities.py:36-48 email
+    rel MERGE — ON CREATE set [header], ON MATCH apoc.coll.toSet of
+    fields + header)."""
+    old = spark.read.parquet(existing_path)
+    both = old.unionByName(updates)
+    return both.groupBy("startId", "endId", "type").agg(
+        F.first("mentionNorm").alias("mentionNorm"),
+        F.first("category").alias("category"),
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list(F.col("fields"))))
+        ).alias("fields"),
+    )
 
 
 def merge_appears_in(

@@ -91,3 +91,64 @@ def test_header_line():
     assert (
         neo4j_header_line(["a:ID", "b", ":LABEL"]) == "a:ID,b,:LABEL\n"
     )
+
+
+def test_doc_csv_created_modified_swap(spark):
+    """Bug-compat with the reference's bulk-CSV mapping: it writes the
+    doc's createdAt value under the modifiedAt:DATETIME header and vice
+    versa (imports.py:383-387 — its goldens mask this with identical
+    timestamps; its Cypher MERGE path does not swap). We mirror the
+    swap so exports are byte-identical to real reference exports."""
+    from datashare_extension_neo4j_spark.sinks.neo4j_csv import doc_nodes_csv_lines
+
+    docs = spark.createDataFrame(
+        [
+            (
+                "doc-0", "dir", "text/html", 10, "2023-01-01T00:00:00Z", 0,
+                "p", "t", "u", "2001-01-01T00:00:00Z", "2002-02-02T00:00:00Z",
+            )
+        ],
+        "id string, dirname string, contentType string, contentLength long,"
+        " extractionDate string, extractionLevel long, path string,"
+        " title string, urlSuffix string, createdAt string, modifiedAt string",
+    )
+    [line] = [r["line"] for r in doc_nodes_csv_lines(docs).collect()]
+    # header order is ...,createdAt:DATETIME,modifiedAt:DATETIME,:LABEL;
+    # the createdAt column position carries the modifiedAt VALUE
+    assert line.endswith("2002-02-02T00:00:00Z,2001-01-01T00:00:00Z,Document")
+
+
+def test_tar_keeps_header_files(spark, tmp_path):
+    """as_tar destroys only body CSVs; *-header.csv files stay on disk
+    so metadata.json keeps resolving (reference imports.py:893-909)."""
+    import tarfile
+
+    from datashare_extension_neo4j_spark.sinks.neo4j_csv import export_graph_csvs
+
+    empty = lambda schema: spark.createDataFrame([], schema)  # noqa: E731
+    export_graph_csvs(
+        docs=empty(
+            "id string, dirname string, contentType string,"
+            " contentLength long, extractionDate string,"
+            " extractionLevel long, path string, title string,"
+            " urlSuffix string, createdAt string, modifiedAt string"
+        ),
+        doc_roots=empty("src string, dst string"),
+        entities=empty("entityId string, mentionNorm string, label string"),
+        appears_in=empty(
+            "mentionExtractors array<string>, extractorLanguage string,"
+            " mentionIds array<string>, offsets array<long>,"
+            " startId string, endId string, type string"
+        ),
+        emails=empty(
+            "fields array<string>, startId string, endId string, type string"
+        ),
+        export_dir=tmp_path,
+        as_tar=True,
+    )
+    on_disk = {p.name for p in tmp_path.iterdir()}
+    assert "docs-header.csv" in on_disk and "entities-header.csv" in on_disk
+    assert "docs.csv" not in on_disk and "entity-docs.csv" not in on_disk
+    with tarfile.open(tmp_path / "neo4j-export.tar.gz") as tf:
+        names = set(tf.getnames())
+    assert "docs.csv" in names and "docs-header.csv" in names

@@ -80,8 +80,9 @@ def test_property_equality(g):
     assert [r["d"]["node_id"] for r in compile_query(g, q).collect()] == ["doc-1"]
 
 
-def test_path_from_direction(g):
-    # (person)-[rel:APPEARS_IN]->(doc), direction "from"
+def test_path_to_direction(g):
+    # (person)-[rel:APPEARS_IN]->(doc): direction "to" = edge src is
+    # the LEFT node (Neo4jUtils.java:793-804 relationshipTo)
     q = {
         "matches": [
             {
@@ -91,7 +92,7 @@ def test_path_from_direction(g):
                         {"name": "doc", "labels": ["Document"]},
                     ],
                     "relationships": [
-                        {"name": "rel", "direction": "from", "types": ["APPEARS_IN"]}
+                        {"name": "rel", "direction": "to", "types": ["APPEARS_IN"]}
                     ],
                 }
             }
@@ -229,3 +230,23 @@ def test_dump_with_user_query_and_limit(g):
     node_ids = {r["node_id"] for r in nodes.collect()}
     assert node_ids == {"doc-0", "ne-1"}
     assert {(r["src"], r["dst"]) for r in edges.collect()} == {("ne-1", "doc-0")}
+
+
+def test_multi_key_order_by(g):
+    """All orderBy keys must apply in ONE sort (successive .orderBy()
+    calls would keep only the last key — the reference applies the full
+    OrderBy list in a single statement, Neo4jUtils.java:236-244)."""
+    q = q1(
+        orderBy=[
+            {"property": {"variable": "doc", "name": "contentType"},
+             "direction": "asc"},
+            {"property": {"variable": "doc", "name": "path"},
+             "direction": "desc"},
+        ],
+        limit=3,
+    )
+    out = [r["doc"]["node_id"] for r in compile_query(g, q).collect()]
+    # contentType asc puts message/rfc822 (doc-1) first; within
+    # text/html, path desc puts b/2 (doc-2) before a/0 (doc-0).
+    # Last-key-only ordering would give [doc-2, doc-1, doc-0].
+    assert out == ["doc-1", "doc-2", "doc-0"]

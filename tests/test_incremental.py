@@ -45,3 +45,18 @@ def test_reimport_updates_not_duplicates(spark, tmp_path):
     assert (
         a.groupBy("startId", "endId").count().where("count > 1").count() == 0
     )
+    # emails merged too (fixture attaches SENT/RECEIVED to doc-11,
+    # which only arrives in the second batch — a stale emails table
+    # would still be empty here)
+    emails = spark.read.parquet(f"{run_dir}/emails")
+    got = {r["type"]: r["fields"] for r in emails.collect()}
+    assert got == {
+        "SENT": ["tika_metadata_message_from"],
+        "RECEIVED": ["tika_metadata_message_to"],
+    }
+
+    # 3) idempotence: repeating the full import changes nothing
+    c3 = incremental_import(spark, pages_all, run_dir)
+    assert c3["nodes_created"] == 0
+    assert c3["relationships_created"] == 0
+    assert spark.read.parquet(f"{run_dir}/emails").count() == 2
