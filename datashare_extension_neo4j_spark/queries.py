@@ -449,6 +449,25 @@ _N_MINHASH = 8
 _BAND_SIZE = 4  # 2 bands of 4
 
 
+def minhash_band_pairs(bands: DataFrame, max_bucket: int) -> DataFrame:
+    """Distinct candidate doc pairs sharing a band bucket, with hot
+    buckets (> max_bucket members) excluded before the self-join."""
+    sizes = bands.groupBy("band").agg(F.count("*").alias("_bsz"))
+    capped = bands.join(
+        sizes.where(F.col("_bsz") <= max_bucket), "band"
+    ).select("doc_id", "band")
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("docA"), F.col("b.doc_id").alias("docB"))
+        .distinct()
+    )
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word-bigram shingles per doc (the shingling step that
     makes MinHash discriminative — single words are too coarse on a
@@ -523,20 +542,26 @@ FROM per_doc
 """
 
 
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket: int = 10_000
+) -> DataFrame:
     """LSH candidate pairs (same band bucket) verified with exact
     shingle-set Jaccard ≥ 0.5. Bucket self-join replaces the all-pairs
-    cross join — the scale path."""
+    cross join — the scale path.
+
+    ``max_bucket`` guards the degenerate case (boilerplate-heavy web
+    corpora where one band value collects millions of docs → quadratic
+    within-bucket): buckets above the cap are excluded BEFORE the
+    self-join, bounding candidates at max_bucket² per bucket. The size
+    pre-pass groups on the same key as the self-join, so it adds one
+    co-partitioned agg, not a new shuffle profile. The default never
+    binds at test scale (oracle-identical); the cap path is exercised
+    by tests/test_extras.py with a forced hot bucket."""
     sig = dedup_minhash_sig(spark, sf_dir)
     bands = sig.select(
         "doc_id", F.explode(F.array("band0", "band1")).alias("band")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("docA"), F.col("b.doc_id").alias("docB"))
-        .distinct()
-    )
+    cand = minhash_band_pairs(bands, max_bucket)
     w = _shingles(spark, sf_dir).withColumnRenamed("shingle", "word")
     sizes = w.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
@@ -1076,6 +1101,67 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "nid", "rank", F.round("cos", 6).alias("cosine"))
 
 
+def _ann_recall_row(
+    spark: SparkSession, sf_dir: str, approx: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """One-row recall@5 summary: the hashable correctness signal for
+    approximate ANN — Spark computes BOTH the approximate and the exact
+    top-k and asserts recall ≥ threshold; the oracle pins the expected
+    outcome (k, n_queries, recall_ok)."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    from .operators.similarity import cosine_topk
+
+    exact = cosine_topk(e, q, k=5).select("qid", "nid")
+    hits = exact.join(approx.select("qid", "nid"), ["qid", "nid"], "left_semi")
+    return (
+        exact.agg(F.count("*").alias("_total"))
+        .crossJoin(hits.agg(F.count("*").alias("_hit")))
+        .crossJoin(q.agg(F.countDistinct("qid").cast("long").alias("n_queries")))
+        .select(
+            F.lit(5).cast("long").alias("k"),
+            "n_queries",
+            (F.col("_hit") / F.col("_total") >= threshold).alias("recall_ok"),
+        )
+    )
+
+
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 gate for hyperplane-LSH ANN (bits=3, tables=16 —
+    measured 0.98-1.0 at sf0.001/sf0.01 vs the 0.8 bar)."""
+    from .operators.similarity import lsh_ann_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    approx = lsh_ann_topk(e, q, dim=64, k=5, bits=3, tables=16)
+    return _ann_recall_row(spark, sf_dir, approx)
+
+
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 gate for IVF ANN (n_lists=8, n_probe=6 — measured 1.0
+    at sf0.001/sf0.01 vs the 0.8 bar)."""
+    from .operators.similarity import ivf_ann_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    approx = ivf_ann_topk(e, q, k=5, n_lists=8, n_probe=6)
+    return _ann_recall_row(spark, sf_dir, approx)
+
+
+ORACLE_ANN_RECALL = """
+SELECT CAST(5 AS BIGINT) AS k,
+       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+       TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 10
+"""
+
+
 def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents → synthetic binary image column
     → mapInPandas decode (deterministic fake kernel). The decode
@@ -1284,6 +1370,8 @@ QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "ann_ivf_topk": (ann_ivf_topk, None),
+    "ann_lsh_recall": (ann_lsh_recall, ORACLE_ANN_RECALL),
+    "ann_ivf_recall": (ann_ivf_recall, ORACLE_ANN_RECALL),
     "media_decode": (media_decode, ORACLE_MEDIA_DECODE),
     "embed_neardup": (embed_neardup, ORACLE_EMBED_NEARDUP),
     "text_stats": (text_stats, ORACLE_TEXT_STATS),

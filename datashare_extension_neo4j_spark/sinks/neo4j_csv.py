@@ -205,6 +205,90 @@ def export_graph_csvs(
     return metadata
 
 
+def export_graph_csvs_distributed(
+    *,
+    docs: DataFrame,
+    doc_roots: DataFrame,
+    entities: DataFrame,
+    appears_in: DataFrame,
+    emails: DataFrame,
+    export_dir: str | Path,
+    db: str = "neo4j",
+) -> dict:
+    """Scale-path export: every table written as a text DIRECTORY of
+    part files by the executors (no driver bottleneck), packaged into
+    a metadata.json whose nodePaths/relationshipPaths list every part —
+    the reference's Neo4jCSVs shape allows multiple paths per type
+    (core/objects.py:93-115) and neo4j-admin consumes them comma-joined
+    (scripts/bulk-import.sh contract). Counts come from a re-scan of
+    the written text (cheap IO pass, no pipeline recompute)."""
+    d = Path(export_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    spark = docs.sparkSession
+    specs = [
+        ("docs", DOCS_HEADER, doc_nodes_csv_lines(docs)),
+        ("doc-roots", DOC_ROOTS_HEADER, doc_roots_csv_lines(doc_roots)),
+        ("entities", ENTITIES_HEADER, entities_csv_lines(entities)),
+        ("entity-docs", ENTITY_DOCS_HEADER, entity_docs_csv_lines(appears_in)),
+        ("email-docs", EMAIL_DOCS_HEADER, email_docs_csv_lines(emails)),
+    ]
+    parts: dict[str, list[str]] = {}
+    counts: dict[str, int] = {}
+    for name, header, lines in specs:
+        (d / f"{name}-header.csv").write_text(neo4j_header_line(header))
+        part_dir = d / name
+        write_csv_distributed(lines, str(part_dir))
+        rel = sorted(
+            str(p.relative_to(d))
+            for p in part_dir.iterdir()
+            if p.name.startswith("part-")
+        )
+        parts[name] = rel
+        counts[name] = (
+            spark.read.text(str(part_dir)).count() if rel else 0
+        )
+    metadata = {
+        "db": db,
+        "nodes": [
+            {
+                "labels": [DOC_NODE],
+                "headerPath": "docs-header.csv",
+                "nodePaths": parts["docs"],
+                "nNodes": counts["docs"],
+            },
+            {
+                "labels": [NE_NODE],
+                "headerPath": "entities-header.csv",
+                "nodePaths": parts["entities"],
+                "nNodes": counts["entities"],
+            },
+        ],
+        "relationships": [
+            {
+                "types": [DOC_ROOT_TYPE],
+                "headerPath": "doc-roots-header.csv",
+                "relationshipPaths": parts["doc-roots"],
+                "nRelationships": counts["doc-roots"],
+            },
+            {
+                "types": [NE_APPEARS_IN_DOC],
+                "headerPath": "entity-docs-header.csv",
+                "relationshipPaths": parts["entity-docs"],
+                "nRelationships": counts["entity-docs"],
+            },
+            {
+                "types": [],
+                "headerPath": "email-docs-header.csv",
+                "relationshipPaths": parts["email-docs"],
+                "nRelationships": counts["email-docs"],
+            },
+        ],
+    }
+    (d / "metadata.json").write_text(json.dumps(metadata, indent=2))
+    _write_bulk_import_script(d)
+    return metadata
+
+
 def _write_bulk_import_script(d: Path) -> None:
     """Emit a bulk-import launcher consuming metadata.json (same
     contract as the reference's scripts/bulk-import.sh: jq-parsed

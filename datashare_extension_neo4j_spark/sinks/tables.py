@@ -3,19 +3,99 @@ columnar tables + incremental MERGE semantics.
 
 The reference's incremental import is Cypher ``UNWIND … MERGE`` with
 ON-MATCH array-union (neo4j-app/neo4j_app/core/neo4j/documents.py:42-80,
-named_entities.py:68-134). Our sink is Iceberg ``MERGE INTO`` when an
-Iceberg catalog is configured; otherwise (this sandbox has no Iceberg
-runtime jar) the same semantics via read-old ∪ new → re-aggregate →
-overwrite, which is what MERGE compiles to for full-file rewrites
-anyway.
+named_entities.py:36-48). Our sink would be Iceberg ``MERGE INTO`` when
+a catalog is configured; this sandbox ships no Iceberg runtime jar (and
+no network to vendor one), so two fallbacks exist:
+
+  * plain layout: read-old ∪ new → re-aggregate → full overwrite —
+    O(table) per increment, fine for small stores;
+  * bucketed layout (``materialize_graph(..., buckets=N)``): each table
+    is hash-partitioned on its merge key (``_bucket =
+    pmod(xxhash64(key), N)``); a merge reads ONLY the partitions the
+    increment touches (partition-pruned scan) and rewrites ONLY those
+    via dynamic partition overwrite. Incremental cost is O(touched
+    buckets) — the same asymptotic shape as Iceberg's MERGE INTO file
+    rewrite, expressed with vanilla parquet.
+
+``incremental_import`` auto-detects the layout per table.
 """
 
 from __future__ import annotations
+
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..pipeline import GraphBuild
+
+BUCKET_COL = "_bucket"
+
+# merge key per graph table (also the bucketing key)
+TABLE_KEYS: dict[str, list[str]] = {
+    "docs": ["id"],
+    "doc_roots": ["src", "dst"],
+    "entities": ["mentionNorm", "category"],
+    "appears_in": ["startId", "endId", "type"],
+    "emails": ["startId", "endId", "type"],
+}
+
+
+def bucketize(df: DataFrame, key_cols: list[str], n: int) -> DataFrame:
+    return df.withColumn(
+        BUCKET_COL, F.pmod(F.xxhash64(*key_cols), F.lit(n))
+    )
+
+
+def is_bucketed(path: str) -> bool:
+    p = Path(path)
+    return p.is_dir() and any(
+        c.name.startswith(f"{BUCKET_COL}=") for c in p.iterdir()
+    )
+
+
+def _read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read dropping the physical bucket column if present."""
+    df = spark.read.parquet(path)
+    return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+
+
+def merge_bucketed(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    combine,
+    n_buckets: int,
+) -> list[int]:
+    """Partition-scoped MERGE: read only the buckets the increment
+    touches, combine old ∪ new there, rewrite only those partitions
+    (dynamic partition overwrite). ``combine(old, new) -> DataFrame``
+    holds the per-table ON MATCH semantics. Returns touched buckets."""
+    up = bucketize(updates, key_cols, n_buckets)
+    touched = [r[0] for r in up.select(BUCKET_COL).distinct().collect()]
+    old = (
+        spark.read.parquet(path)
+        .where(F.col(BUCKET_COL).isin(touched))
+        .drop(BUCKET_COL)
+    )
+    merged = bucketize(combine(old, up.drop(BUCKET_COL)), key_cols, n_buckets)
+    # materialize touched buckets to a tmp dir first: the merged plan
+    # lazily READS the very files a direct overwrite would delete
+    import shutil
+
+    tmp = f"{path}__merge_tmp"
+    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.read.parquet(tmp).write.mode("overwrite").partitionBy(
+            BUCKET_COL
+        ).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return touched
 
 
 def _write(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
@@ -26,13 +106,19 @@ def _write(df: DataFrame, path: str, partition_by: list[str] | None = None) -> N
 
 
 def materialize_graph(
-    g: GraphBuild, out_dir: str, parallel: bool = True
+    g: GraphBuild, out_dir: str, parallel: bool = True,
+    buckets: int | None = None,
 ) -> dict[str, str]:
     """Write the five graph tables; returns name → path.
 
     The five writes are independent jobs over the same checkpointed
     input — submitting them concurrently lets the scheduler interleave
-    their stages (wall ≈ max instead of sum of fixed job costs)."""
+    their stages (wall ≈ max instead of sum of fixed job costs).
+
+    ``buckets=N`` hash-partitions every table on its merge key so
+    later increments rewrite only touched partitions (module
+    docstring); N should be sized so one bucket ≈ one comfortable
+    task (e.g. 1024-8192 at 100 TB)."""
     frames = {
         "docs": g.docs,
         "doc_roots": g.doc_roots,
@@ -41,35 +127,123 @@ def materialize_graph(
         "emails": g.emails,
     }
     paths = {name: f"{out_dir}/{name}" for name in frames}
+
+    def write_one(name: str, df: DataFrame) -> None:
+        if buckets:
+            bucketize(df, TABLE_KEYS[name], buckets).write.mode(
+                "overwrite"
+            ).partitionBy(BUCKET_COL).parquet(paths[name])
+            # sidecar pins N for later merges (empty buckets leave no
+            # partition dir, so N can't be inferred from the listing)
+            (Path(paths[name]) / "_n_buckets").write_text(str(buckets))
+        else:
+            _write(df, paths[name])
+
     if parallel:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=len(frames)) as ex:
             futs = [
-                ex.submit(_write, df, paths[name])
+                ex.submit(write_one, name, df)
                 for name, df in frames.items()
             ]
             for f in futs:
                 f.result()
     else:
         for name, df in frames.items():
-            _write(df, paths[name])
+            write_one(name, df)
     return paths
+
+
+def combine_docs(old: DataFrame, new: DataFrame) -> DataFrame:
+    """MERGE on id, ON MATCH/CREATE SET all props — newest wins
+    (reference documents.py:42-80)."""
+    kept = old.join(new.select("id"), "id", "left_anti")
+    return kept.unionByName(new, allowMissingColumns=True)
+
+
+def _combine_dedup(keys: list[str]):
+    def combine(old: DataFrame, new: DataFrame) -> DataFrame:
+        return old.unionByName(new).dropDuplicates(keys)
+
+    return combine
+
+
+_MERGED_ARR = lambda c: F.array_sort(  # noqa: E731
+    F.array_distinct(F.flatten(F.collect_list(F.col(c))))
+)
+
+
+def combine_appears_in(old: DataFrame, new: DataFrame) -> DataFrame:
+    """ON MATCH union arrays (sorted-set semantics, reference
+    named_entities.py:84-97 + O1), ON CREATE insert — associative, so
+    any number of increments compose."""
+    both = old.unionByName(new)
+    return (
+        both.groupBy("startId", "endId", "type")
+        .agg(
+            F.first("mentionNorm").alias("mentionNorm"),
+            F.first("category").alias("category"),
+            _MERGED_ARR("mentionIds").alias("mentionIds"),
+            _MERGED_ARR("mentionExtractors").alias("mentionExtractors"),
+            _MERGED_ARR("offsets").alias("offsets"),
+            F.first("extractorLanguage", ignorenulls=True).alias(
+                "extractorLanguage"
+            ),
+        )
+        .withColumn("mentionCount", F.size(F.col("mentionIds")))
+    )
+
+
+def combine_emails(old: DataFrame, new: DataFrame) -> DataFrame:
+    """ON MATCH union the fields header set (reference
+    named_entities.py:36-48)."""
+    both = old.unionByName(new)
+    return both.groupBy("startId", "endId", "type").agg(
+        F.first("mentionNorm").alias("mentionNorm"),
+        F.first("category").alias("category"),
+        _MERGED_ARR("fields").alias("fields"),
+    )
+
+
+COMBINE = {
+    "docs": combine_docs,
+    "doc_roots": _combine_dedup(["src", "dst"]),
+    "entities": _combine_dedup(["mentionNorm", "category"]),
+    "appears_in": combine_appears_in,
+    "emails": combine_emails,
+}
+
+
+def merge_table(
+    spark: SparkSession, path: str, updates: DataFrame, name: str
+) -> None:
+    """MERGE ``updates`` into the stored table, auto-detecting layout:
+    bucketed → partition-scoped rewrite of touched buckets only;
+    plain → full read-combine-overwrite."""
+    sidecar = Path(path) / "_n_buckets"
+    if sidecar.exists():
+        n = int(sidecar.read_text())
+        merge_bucketed(
+            spark, path, updates, TABLE_KEYS[name], COMBINE[name], n
+        )
+    else:
+        merged = COMBINE[name](_read_table(spark, path), updates)
+        overwrite_parquet(spark, merged, path)
 
 
 def merge_docs(
     spark: SparkSession, existing_path: str, updates: DataFrame
 ) -> tuple[DataFrame, dict]:
-    """Incremental document upsert (reference documents.py:42-80:
-    MERGE on id, ON MATCH/CREATE SET all props — i.e. newest wins).
-    Returns (merged, counters) with the reference's ImportSummary
-    shape (imports.py:130-135): imported / nodes_created."""
-    old = spark.read.parquet(existing_path)
+    """Incremental document upsert. Returns (merged, counters) with
+    the reference's ImportSummary shape (imports.py:130-135):
+    imported / nodes_created."""
+    old = _read_table(spark, existing_path)
     imported = updates.count()
     created = updates.join(old, "id", "left_anti").count()
-    kept = old.join(updates.select("id"), "id", "left_anti")
-    merged = kept.unionByName(updates, allowMissingColumns=True)
-    return merged, {"imported": imported, "nodes_created": created}
+    return combine_docs(old, updates), {
+        "imported": imported, "nodes_created": created,
+    }
 
 
 def overwrite_parquet(spark: SparkSession, df: DataFrame, path: str) -> None:
@@ -100,45 +274,35 @@ def incremental_import(
         include_text=False, cache=False,
     )
     docs_path = f"{run_dir}/docs"
-    merged_docs, doc_counters = merge_docs(
-        spark, docs_path, g.docs.drop("ann_mentions", "ann_edges")
-    )
-    overwrite_parquet(spark, merged_docs, docs_path)
+    new_docs = g.docs.drop("ann_mentions", "ann_edges")
+    old_docs = _read_table(spark, docs_path)
+    doc_counters = {
+        "imported": new_docs.count(),
+        "nodes_created": new_docs.join(old_docs, "id", "left_anti").count(),
+    }
+    merge_table(spark, docs_path, new_docs, "docs")
 
     roots_path = f"{run_dir}/doc_roots"
-    old_roots = spark.read.parquet(roots_path)
-    new_roots = g.doc_roots
-    roots_created = new_roots.join(old_roots, ["src", "dst"], "left_anti").count()
-    overwrite_parquet(
-        spark,
-        old_roots.unionByName(new_roots).dropDuplicates(["src", "dst"]),
-        roots_path,
-    )
+    roots_created = g.doc_roots.join(
+        _read_table(spark, roots_path), ["src", "dst"], "left_anti"
+    ).count()
+    merge_table(spark, roots_path, g.doc_roots, "doc_roots")
 
     appears_path = f"{run_dir}/appears_in"
     pre = spark.read.parquet(appears_path).count()
-    merged = merge_appears_in(spark, appears_path, g.appears_in)
-    overwrite_parquet(spark, merged, appears_path)
+    merge_table(spark, appears_path, g.appears_in, "appears_in")
     post = spark.read.parquet(appears_path).count()
 
     emails_path = f"{run_dir}/emails"
     emails_pre = spark.read.parquet(emails_path).count()
-    merged_emails = merge_emails(spark, emails_path, g.emails)
-    overwrite_parquet(spark, merged_emails, emails_path)
+    merge_table(spark, emails_path, g.emails, "emails")
     emails_post = spark.read.parquet(emails_path).count()
 
     ents_path = f"{run_dir}/entities"
-    old_ents = spark.read.parquet(ents_path)
     ents_created = g.entities.join(
-        old_ents, ["mentionNorm", "category"], "left_anti"
+        _read_table(spark, ents_path), ["mentionNorm", "category"], "left_anti"
     ).count()
-    overwrite_parquet(
-        spark,
-        old_ents.unionByName(g.entities).dropDuplicates(
-            ["mentionNorm", "category"]
-        ),
-        ents_path,
-    )
+    merge_table(spark, ents_path, g.entities, "entities")
     return {
         **doc_counters,
         "relationships_created": roots_created
@@ -148,47 +312,64 @@ def incremental_import(
     }
 
 
+def incremental_import_mentions(
+    spark: SparkSession, mentions: DataFrame, run_dir: str
+) -> dict:
+    """NE-only incremental batch: mentions whose parent documents were
+    imported by a PRIOR run (reference imports.py:829-871 — the NE
+    import is restricted to parents already present in the sink;
+    documents.py:83-95 supplies the imported-doc id stream).
+
+    Mentions referencing unknown documents are dropped by the semi-join
+    (the reference never imports an NE without its parent); the rest
+    are aggregated to APPEARS_IN / SENT / RECEIVED edges + entities and
+    array-union-MERGEd into the existing tables. Returns the
+    ImportSummary-shaped counters (imports.py:130-135)."""
+    from ..operators.edges import appears_in_edges, email_edges
+    from ..operators.entities import entity_nodes
+
+    total = mentions.count()
+    doc_ids = (
+        spark.read.parquet(f"{run_dir}/docs")
+        .select(F.col("id").alias("documentId"))
+    )
+    m = mentions.join(doc_ids, "documentId", "left_semi")
+    imported = m.count()
+
+    appears_path = f"{run_dir}/appears_in"
+    pre = spark.read.parquet(appears_path).count()
+    merge_table(spark, appears_path, appears_in_edges(m), "appears_in")
+    post = spark.read.parquet(appears_path).count()
+
+    emails_path = f"{run_dir}/emails"
+    emails_pre = spark.read.parquet(emails_path).count()
+    merge_table(spark, emails_path, email_edges(m), "emails")
+    emails_post = spark.read.parquet(emails_path).count()
+
+    ents_path = f"{run_dir}/entities"
+    new_ents = entity_nodes(m)
+    ents_created = new_ents.join(
+        _read_table(spark, ents_path), ["mentionNorm", "category"], "left_anti"
+    ).count()
+    merge_table(spark, ents_path, new_ents, "entities")
+    return {
+        "imported": imported,
+        "skipped_orphans": total - imported,
+        "nodes_created": 0,
+        "relationships_created": (post - pre) + (emails_post - emails_pre),
+        "entities_created": ents_created,
+    }
+
+
 def merge_emails(
     spark: SparkSession, existing_path: str, updates: DataFrame
 ) -> DataFrame:
-    """Incremental MERGE for SENT/RECEIVED edges: ON MATCH union the
-    ``fields`` header array (reference named_entities.py:36-48 email
-    rel MERGE — ON CREATE set [header], ON MATCH apoc.coll.toSet of
-    fields + header)."""
-    old = spark.read.parquet(existing_path)
-    both = old.unionByName(updates)
-    return both.groupBy("startId", "endId", "type").agg(
-        F.first("mentionNorm").alias("mentionNorm"),
-        F.first("category").alias("category"),
-        F.array_sort(
-            F.array_distinct(F.flatten(F.collect_list(F.col("fields"))))
-        ).alias("fields"),
-    )
+    """Path wrapper over combine_emails (read old, return merged)."""
+    return combine_emails(_read_table(spark, existing_path), updates)
 
 
 def merge_appears_in(
     spark: SparkSession, existing_path: str, updates: DataFrame
 ) -> DataFrame:
-    """Incremental MERGE for APPEARS_IN edges: ON MATCH union arrays
-    (sorted-set semantics, reference named_entities.py:84-97 + O1),
-    ON CREATE insert. Expressed as union + re-aggregate — associative,
-    so it composes with any number of increments."""
-    old = spark.read.parquet(existing_path)
-    both = old.unionByName(updates)
-    merged_arr = lambda c: F.array_sort(  # noqa: E731
-        F.array_distinct(F.flatten(F.collect_list(F.col(c))))
-    )
-    return (
-        both.groupBy("startId", "endId", "type")
-        .agg(
-            F.first("mentionNorm").alias("mentionNorm"),
-            F.first("category").alias("category"),
-            merged_arr("mentionIds").alias("mentionIds"),
-            merged_arr("mentionExtractors").alias("mentionExtractors"),
-            merged_arr("offsets").alias("offsets"),
-            F.first("extractorLanguage", ignorenulls=True).alias(
-                "extractorLanguage"
-            ),
-        )
-        .withColumn("mentionCount", F.size(F.col("mentionIds")))
-    )
+    """Path wrapper over combine_appears_in (read old, return merged)."""
+    return combine_appears_in(_read_table(spark, existing_path), updates)

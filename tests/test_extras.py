@@ -140,3 +140,20 @@ def test_ivf_ann_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_minhash_bucket_cap(spark):
+    """A degenerate band bucket (boilerplate-heavy corpus: one band
+    value shared by many docs) is excluded once its size exceeds
+    max_bucket, bounding the candidate count; small buckets are kept."""
+    from datashare_extension_neo4j_spark.queries import minhash_band_pairs
+
+    rows = [(i, "HOT") for i in range(100)] + [
+        (200, "cold"), (201, "cold"),
+    ]
+    bands = spark.createDataFrame(rows, "doc_id long, band string")
+    uncapped = minhash_band_pairs(bands, max_bucket=10_000)
+    assert uncapped.count() == 100 * 99 // 2 + 1
+    capped = minhash_band_pairs(bands, max_bucket=50)
+    got = {(r["docA"], r["docB"]) for r in capped.collect()}
+    assert got == {(200, 201)}  # hot bucket dropped, cold kept

@@ -170,3 +170,60 @@ def test_noise_pages_do_not_leak(graph):
     assert len(noise_ids) == 5
     m = graph.mentions.where(~graph.mentions.documentId.startswith("doc-")).count()
     assert m == 0
+
+
+def test_distributed_export_matches_single(graph, tmp_path):
+    """The executor-written multi-part package holds exactly the same
+    CSV bytes as the driver-streamed single-file export (modulo row
+    order), its metadata lists every part, and bulk-import.sh compiles
+    a valid multi-part neo4j-admin command."""
+    import subprocess
+
+    from datashare_extension_neo4j_spark.sinks.neo4j_csv import (
+        export_graph_csvs_distributed,
+    )
+
+    single = tmp_path / "single"
+    multi = tmp_path / "multi"
+    kw = dict(
+        docs=graph.docs.where("id like 'doc-%'"),
+        doc_roots=graph.doc_roots,
+        entities=graph.entities,
+        appears_in=graph.appears_in,
+        emails=graph.emails,
+    )
+    export_graph_csvs(export_dir=single, **kw)
+    meta = export_graph_csvs_distributed(export_dir=multi, **kw)
+
+    for name in ["docs", "doc-roots", "entities", "entity-docs", "email-docs"]:
+        want = sorted((single / f"{name}.csv").read_text().splitlines())
+        got = sorted(
+            line
+            for p in (multi / name).glob("part-*")
+            for line in p.read_text().splitlines()
+        )
+        assert got == want, f"{name} bytes diverge"
+        # headers byte-identical
+        assert (multi / f"{name}-header.csv").read_text() == (
+            single / f"{name}-header.csv"
+        ).read_text()
+
+    # metadata counts match the single-file export's
+    single_meta = json.loads((single / "metadata.json").read_text())
+    assert [n["nNodes"] for n in meta["nodes"]] == [
+        n["nNodes"] for n in single_meta["nodes"]
+    ]
+    assert all(len(n["nodePaths"]) >= 1 for n in meta["nodes"])
+
+    # dry-run compiles one import command referencing every part
+    out = subprocess.run(
+        ["bash", "bulk-import.sh", "--dry-run"],
+        cwd=multi,
+        env={"NEO4J_HOME": "/opt/neo4j", "PATH": "/usr/bin:/bin"},
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    assert "neo4j-admin database import full" in out
+    for p in meta["nodes"][0]["nodePaths"]:
+        assert p in out
