@@ -7,11 +7,15 @@
 or equivalently ``python -m datashare_extension_neo4j_spark.cli …``
 locally. Subcommands:
 
-  build        resumable pipeline: pages parquet → graph tables
-               (manifest-guarded stages, per-partition lineage)
-  export-csv   graph tables → neo4j-admin bulk CSV package
-  dump         DSL JSON (or default query) → graphml/cypher dump
-  stats        recompute the project-statistics singleton
+  build           resumable pipeline: pages parquet → graph tables
+                  (manifest-guarded stages, per-partition lineage)
+  incremental     MERGE a new pages batch into an existing run-dir
+  import-mentions MERGE an NE-only mention batch (parents must already
+                  be imported; orphans dropped — reference semantics)
+  export-csv      graph tables → neo4j-admin bulk CSV package
+                  (--distributed: executor-written multi-part package)
+  dump            DSL JSON (or default query) → graphml/cypher dump
+  stats           recompute the project-statistics singleton
 """
 
 from __future__ import annotations
@@ -43,30 +47,50 @@ def cmd_build(args) -> int:
     return 0
 
 
+def cmd_incremental(args) -> int:
+    from .sinks.tables import incremental_import
+
+    spark = _spark(args.master)
+    pages = spark.read.parquet(args.pages)
+    counters = incremental_import(
+        spark, pages, args.run_dir, project=args.project
+    )
+    print(json.dumps(counters))
+    return 0
+
+
+def cmd_import_mentions(args) -> int:
+    from .sinks.tables import incremental_import_mentions
+
+    spark = _spark(args.master)
+    mentions = spark.read.parquet(args.mentions)
+    counters = incremental_import_mentions(spark, mentions, args.run_dir)
+    print(json.dumps(counters))
+    return 0
+
+
 def cmd_export_csv(args) -> int:
-    from .pipeline import GraphBuild
-    from .sinks.neo4j_csv import export_graph_csvs
+    from .sinks.tables import _read_table
+    from .sinks.neo4j_csv import (
+        export_graph_csvs,
+        export_graph_csvs_distributed,
+    )
 
     spark = _spark(args.master)
     rd = args.run_dir
-    g = GraphBuild(
-        docs=spark.read.parquet(f"{rd}/docs"),
-        doc_roots=spark.read.parquet(f"{rd}/doc_roots"),
-        mentions=spark.read.parquet(f"{rd}/mentions"),
-        entities=spark.read.parquet(f"{rd}/entities"),
-        appears_in=spark.read.parquet(f"{rd}/appears_in"),
-        emails=spark.read.parquet(f"{rd}/emails"),
-    )
-    md = export_graph_csvs(
-        docs=g.docs,
-        doc_roots=g.doc_roots,
-        entities=g.entities,
-        appears_in=g.appears_in,
-        emails=g.emails,
+    kw = dict(
+        docs=_read_table(spark, f"{rd}/docs"),
+        doc_roots=_read_table(spark, f"{rd}/doc_roots"),
+        entities=_read_table(spark, f"{rd}/entities"),
+        appears_in=_read_table(spark, f"{rd}/appears_in"),
+        emails=_read_table(spark, f"{rd}/emails"),
         export_dir=args.export_dir,
         db=args.db,
-        as_tar=args.tar,
     )
+    if args.distributed:
+        md = export_graph_csvs_distributed(**kw)
+    else:
+        md = export_graph_csvs(as_tar=args.tar, **kw)
     print(json.dumps(md))
     return 0
 
@@ -131,11 +155,23 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--force", action="store_true")
     b.set_defaults(fn=cmd_build)
 
+    inc = sub.add_parser("incremental")
+    inc.add_argument("--pages", required=True)
+    inc.add_argument("--run-dir", required=True)
+    inc.add_argument("--project", default="test_project")
+    inc.set_defaults(fn=cmd_incremental)
+
+    im = sub.add_parser("import-mentions")
+    im.add_argument("--mentions", required=True, help="mention parquet (MENTION_SCHEMA)")
+    im.add_argument("--run-dir", required=True)
+    im.set_defaults(fn=cmd_import_mentions)
+
     e = sub.add_parser("export-csv")
     e.add_argument("--run-dir", required=True)
     e.add_argument("--export-dir", required=True)
     e.add_argument("--db", default="neo4j")
     e.add_argument("--tar", action="store_true")
+    e.add_argument("--distributed", action="store_true")
     e.set_defaults(fn=cmd_export_csv)
 
     d = sub.add_parser("dump")

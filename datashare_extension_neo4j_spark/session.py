@@ -48,6 +48,16 @@ def get_spark(
         # high group cardinality (measured 2.5x on APPEARS_IN) and
         # avoids the GC churn of per-group array buffers
         .config("spark.sql.execution.useObjectHashAggregateExec", "false")
+        # wide-text mapInPandas: 10k-row default batches are ~120 MB of
+        # html per batch — small batches cut peak memory + GC and
+        # pipeline better against the python workers
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # throughput GC for executors (ignored in local mode, applies
+        # under local-cluster/real clusters); G1 pause targets buy
+        # nothing in a batch pipeline
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        # single-box file:// splits carry no locality — never wait
+        .config("spark.locality.wait", "0s")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -24,7 +24,7 @@ from ..operators.edges import appears_in_edges
 from ..operators.extract import PARSED_SCHEMA, parse_pages
 from ..operators.ner import DEFAULT_GAZETTEER, annotated_mentions
 from ..schemas import PAGES_SCHEMA
-from ..sinks.tables import merge_appears_in
+from ..sinks.tables import merge_table
 
 
 def stream_pages(spark: SparkSession, input_path: str) -> DataFrame:
@@ -63,16 +63,9 @@ def start_graph_ingest(
             )
             appears = appears_in_edges(annotated_mentions(parsed))
             if Path(appears_path).exists():
-                merged = merge_appears_in(spark, appears_path, appears)
-                # write-then-swap: parquet has no in-place merge
-                tmp = f"{appears_path}__tmp{batch_id}"
-                merged.write.mode("overwrite").parquet(tmp)
-                spark.read.parquet(tmp).write.mode("overwrite").parquet(
-                    appears_path
-                )
-                import shutil
-
-                shutil.rmtree(tmp, ignore_errors=True)
+                # layout-aware MERGE: bucketed tables rewrite only the
+                # partitions this micro-batch touches
+                merge_table(spark, appears_path, appears, "appears_in")
             else:
                 appears.write.mode("overwrite").parquet(appears_path)
         finally:

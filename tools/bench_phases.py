@@ -3,6 +3,7 @@ attribute the N→4N efficiency loss to a phase (parse+checkpoint write
 vs table materialization) before optimizing it.
 
 Usage: python tools/bench_phases.py <pages_parquet> <n_exec> <cores_per>
+           ['{"spark.conf.key": "value", ...}']
 Prints one JSON line with per-phase wall times.
 """
 
@@ -24,14 +25,16 @@ from datashare_extension_neo4j_spark.sinks.tables import materialize_graph
 
 n_exec, cores_per = {n_exec}, {cores_per}
 total = n_exec * cores_per
+conf = {{
+    "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+    "spark.sql.files.openCostInBytes": "0",
+}}
+conf.update({extra!r})
 spark = get_spark(
     app_name="phases",
     master=f"local-cluster[{{n_exec}},{{cores_per}},6144]",
     shuffle_partitions=total,
-    extra_conf={{
-        "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
-        "spark.sql.files.openCostInBytes": "0",
-    }},
+    extra_conf=conf,
 )
 spark.range(1_000_000).selectExpr("sum(id)").collect()
 import pandas as pd
@@ -70,7 +73,10 @@ def main() -> None:
     pages = sys.argv[1]
     n_exec = int(sys.argv[2])
     cores_per = int(sys.argv[3])
-    code = SNIPPET.format(repo=REPO, pages=pages, n_exec=n_exec, cores_per=cores_per)
+    extra = json.loads(sys.argv[4]) if len(sys.argv) > 4 else {}
+    code = SNIPPET.format(
+        repo=REPO, pages=pages, n_exec=n_exec, cores_per=cores_per, extra=extra
+    )
     budget = n_exec * cores_per
     cmd = ["taskset", "-c", f"0-{budget - 1}", sys.executable, "-c", code]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)

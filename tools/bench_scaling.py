@@ -38,7 +38,9 @@ spark = get_spark(
     master=f"local-cluster[{{n_exec}},{{cores_per}},6144]",
     shuffle_partitions=total,
     extra_conf={{
-        "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+        # 2 MB splits: ~160 tasks for this corpus — enough waves to
+        # balance the 32-slot run (4 MB gave 80 tasks = 2.5 ragged waves)
+        "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
         "spark.sql.files.openCostInBytes": "0",
     }},
 )
