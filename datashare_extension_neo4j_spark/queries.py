@@ -629,6 +629,40 @@ WHERE round(i.i / (sa.sz + sb.sz - i.i), 6) >= 0.5
 """
 
 
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from the verified MinHash-LSH pairs:
+    connected components (iterative hash-min label propagation,
+    operators/graph_algos.py) over the pair graph — the step that turns
+    pairwise near-dup hits into dedup groups with one keeper each.
+    Oracle: DuckDB recursive CTE computing the same min-id components."""
+    from .operators.graph_algos import connected_components
+
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("docA", "docB")
+    cc = connected_components(pairs, "docA", "docB")
+    return cc.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("comp").cast("long").alias("cluster"),
+    )
+
+
+ORACLE_DEDUP_MINHASH_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  {ORACLE_DEDUP_MINHASH_PAIRS}
+), sym AS (
+  SELECT docA AS a, docB AS b FROM pairs
+  UNION
+  SELECT docB AS a, docA AS b FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT CAST(a AS BIGINT) AS doc_id,
+       CAST(least(a, min(b)) AS BIGINT) AS cluster
+FROM reach GROUP BY a
+"""
+
+
 _SIMHASH_BITS = 16
 
 
@@ -1199,6 +1233,241 @@ FROM h
 """
 
 
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (GPT-2 style pre-tokenizer family,
+    simplified to a pattern with identical Java/RE2 semantics):
+    letter runs, single digits, punctuation runs. Pure JVM
+    regexp_extract_all — no Python in the plan."""
+    pat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+    d = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(pat), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("nBpeTokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("nUniqueBpeTokens"),
+        F.round(
+            F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + F.length(t),
+            )
+            / F.size(toks),
+            6,
+        ).alias("meanBpeTokenLen"),
+    )
+
+
+ORACLE_TOKEN_COUNT_BPE = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS nBpeTokens,
+       CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))) AS BIGINT) AS nUniqueBpeTokens,
+       round(list_aggregate(list_transform(
+                 regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'),
+                 t -> length(t)), 'sum') * 1.0
+             / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')),
+             6) AS meanBpeTokenLen
+FROM documents
+"""
+
+
+_WINNOW_K = 3  # words per k-gram
+_WINNOW_W = 4  # k-grams per window
+
+
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm, Schleimer
+    et al. 2003): hash every k-gram of words, slide a w-window over the
+    hash sequence, keep each window's minimum — guarantees any match of
+    length ≥ w+k-1 shares a fingerprint, with O(n/w) selected hashes.
+    All JVM array expressions: one pass per doc, no shuffle, no Python."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    k, w = _WINNOW_K, _WINNOW_W
+    kgrams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    m = F.size(kgrams)
+    selected = F.when(
+        m >= w,
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), m - (w - 1)),
+                    lambda j: F.array_min(F.slice(kgrams, j, w)),
+                )
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select(
+        "doc_id",
+        m.cast("long").alias("nKgrams"),
+        F.size(selected).cast("long").alias("nSelected"),
+        F.md5(F.array_join(selected, "|")).alias("fingerprint"),
+    )
+
+
+ORACLE_WINNOW_FINGERPRINT = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), kg AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {_WINNOW_K}
+              THEN list_transform(
+                     generate_series(1, len(toks) - {_WINNOW_K - 1}),
+                     i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              ELSE [] END AS kgrams
+  FROM t
+), sel AS (
+  SELECT doc_id, kgrams,
+         CASE WHEN len(kgrams) >= {_WINNOW_W}
+              THEN list_sort(list_distinct(list_transform(
+                     generate_series(1, len(kgrams) - {_WINNOW_W - 1}),
+                     j -> list_aggregate(kgrams[j:j+{_WINNOW_W - 1}], 'min'))))
+              ELSE [] END AS selected
+  FROM kg
+)
+SELECT doc_id,
+       CAST(len(kgrams) AS BIGINT) AS nKgrams,
+       CAST(len(selected) AS BIGINT) AS nSelected,
+       md5(array_to_string(selected, '|')) AS fingerprint
+FROM sel
+"""
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style (Rae et al. 2021) repetition/quality filters:
+    mean word length in [3,10], ≥80% words alphabetic, top-bigram
+    fraction ≤ 0.18. Per-word stats are array expressions; the
+    top-bigram fraction is relational (explode → count per (doc,
+    bigram) → max/sum) so it scales to arbitrarily long documents
+    instead of an O(n²) per-row loop."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    n = F.size(toks)
+    mean_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ) / n
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n
+    per_doc = d.select(
+        "doc_id",
+        n.cast("long").alias("nWords"),
+        F.round(mean_len, 6).alias("meanWordLen"),
+        F.round(alpha_frac, 6).alias("alphaWordFrac"),
+    )
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    big_stats = (
+        bigrams.groupBy("doc_id", "bigram")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("count") / F.sum("count"), 6).alias("topBigramFrac")
+        )
+    )
+    out = per_doc.join(big_stats, "doc_id", "left").select(
+        "doc_id",
+        "nWords",
+        "meanWordLen",
+        "alphaWordFrac",
+        F.coalesce("topBigramFrac", F.lit(0.0)).alias("topBigramFrac"),
+    )
+    return out.withColumn(
+        "passesGopher",
+        (F.col("meanWordLen") >= 3)
+        & (F.col("meanWordLen") <= 10)
+        & (F.col("alphaWordFrac") >= 0.8)
+        & (F.col("topBigramFrac") <= 0.18),
+    )
+
+
+ORACLE_GOPHER_QUALITY = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+), per_doc AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS nWords,
+         round(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+               * 1.0 / len(toks), 6) AS meanWordLen,
+         round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+               * 1.0 / len(toks), 6) AS alphaWordFrac
+  FROM t
+), bg AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+           THEN list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1])
+           ELSE [] END) AS bigram
+  FROM t
+), bc AS (
+  SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+), bs AS (
+  SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS topBigramFrac
+  FROM bc GROUP BY doc_id
+)
+SELECT p.doc_id, p.nWords, p.meanWordLen, p.alphaWordFrac,
+       coalesce(b.topBigramFrac, 0.0) AS topBigramFrac,
+       p.meanWordLen >= 3 AND p.meanWordLen <= 10
+         AND p.alphaWordFrac >= 0.8
+         AND coalesce(b.topBigramFrac, 0.0) <= 0.18 AS passesGopher
+FROM per_doc p LEFT JOIN bs b ON b.doc_id = p.doc_id
+"""
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling: per-language
+    rates via an md5 threshold on the doc id — reproducible across
+    engines/runs/cluster sizes (no RNG), the correct way to sample a
+    100 TB corpus (a pure filter: pushes down, no shuffle, no
+    coordination). Rates: en 50%, others 10%."""
+    d = _docs(spark, sf_dir)
+    # first 8 hex chars of md5 as a uniform draw in [0, 2^32); integer
+    # thresholds (0.5 / 0.1 of 2^32) pinned as literals — float→long
+    # cast rounding differs between engines (Spark truncates, DuckDB
+    # rounds), so the thresholds must never be computed from doubles
+    draw = F.conv(
+        F.substring(F.md5(F.concat(F.lit("samp:"), F.col("doc_id"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    threshold = F.when(
+        F.col("lang") == "en", F.lit(2147483648)
+    ).otherwise(F.lit(429496729))
+    return d.where(draw < threshold).select("doc_id", "lang")
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang
+FROM documents
+WHERE ('0x' || substr(md5('samp:' || doc_id), 1, 8))::BIGINT
+      < CASE WHEN lang = 'en' THEN 2147483648 ELSE 429496729 END
+"""
+
+
 # --------------------------------------------- general operator demos
 
 
@@ -1363,6 +1632,10 @@ QUERIES = {
     "dedup_wordset": (dedup_wordset, ORACLE_DEDUP_WORDSET),
     "dedup_minhash_sig": (dedup_minhash_sig, ORACLE_DEDUP_MINHASH_SIG),
     "dedup_minhash_pairs": (dedup_minhash_pairs, ORACLE_DEDUP_MINHASH_PAIRS),
+    "dedup_minhash_clusters": (
+        dedup_minhash_clusters,
+        ORACLE_DEDUP_MINHASH_CLUSTERS,
+    ),
     "dedup_simhash": (dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD),
     "quality_score": (quality_score, ORACLE_QUALITY_SCORE),
@@ -1377,6 +1650,10 @@ QUERIES = {
     "text_stats": (text_stats, ORACLE_TEXT_STATS),
     "lang_id": (lang_id, ORACLE_LANG_ID),
     "doc_fingerprint": (doc_fingerprint, ORACLE_DOC_FINGERPRINT),
+    "token_count_bpe": (token_count_bpe, ORACLE_TOKEN_COUNT_BPE),
+    "winnow_fingerprint": (winnow_fingerprint, ORACLE_WINNOW_FINGERPRINT),
+    "gopher_quality": (gopher_quality, ORACLE_GOPHER_QUALITY),
+    "stratified_sample": (stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "tpch_q1": (tpch_q1, ORACLE_TPCH_Q1),
     "join_topn": (join_topn, ORACLE_JOIN_TOPN),
     "anti_join": (anti_join, ORACLE_ANTI_JOIN),

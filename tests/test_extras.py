@@ -157,3 +157,140 @@ def test_minhash_bucket_cap(spark):
     capped = minhash_band_pairs(bands, max_bucket=50)
     got = {(r["docA"], r["docB"]) for r in capped.collect()}
     assert got == {(200, 201)}  # hot bucket dropped, cold kept
+
+
+def test_stateful_first_seen_dedup(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: only the FIRST
+    occurrence of each key ever passes, across micro-batches AND across
+    a checkpointed restart."""
+    import pandas as pd
+
+    from datashare_extension_neo4j_spark.streaming.stateful import (
+        start_first_seen_dedup,
+    )
+
+    inp = tmp_path / "in"
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    inp.mkdir()
+
+    def wave(name, rows):
+        pd.DataFrame(rows, columns=["key", "doc_id", "ts"]).to_parquet(
+            inp / f"{name}.parquet"
+        )
+
+    # wave 1: h1 twice (same batch), h2 once
+    wave("w1", [("h1", "d1", 10), ("h1", "d2", 11), ("h2", "d3", 12)])
+    # wave 2 (separate file → separate micro-batch): h1 again + new h3
+    wave("w2", [("h1", "d4", 20), ("h3", "d5", 21)])
+    q = start_first_seen_dedup(spark, str(inp), out, ck)
+    q.awaitTermination(120)
+
+    got = {
+        r["key"]: (r["doc_id"], r["ts"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {"h1": ("d1", 10), "h2": ("d3", 12), "h3": ("d5", 21)}
+
+    # restart with new files: state survives the checkpoint — h1/h3
+    # still suppressed, h4 passes
+    wave("w3", [("h1", "d6", 30), ("h3", "d7", 31), ("h4", "d8", 32)])
+    q2 = start_first_seen_dedup(spark, str(inp), out, ck)
+    q2.awaitTermination(120)
+    got2 = {
+        r["key"]: (r["doc_id"], r["ts"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == {
+        "h1": ("d1", 10), "h2": ("d3", 12), "h3": ("d5", 21),
+        "h4": ("d8", 32),
+    }
+
+
+def test_windowed_event_counts_drops_late_rows(spark, tmp_path):
+    """Watermark semantics end-to-end: a row older than the watermark
+    horizon (behind max-seen event time) is dropped; windows emit once
+    on close (append mode)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from datashare_extension_neo4j_spark.streaming.stateful import (
+        windowed_event_counts,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def wave(name, rows):
+        pd.DataFrame(rows, columns=["ts", "event_type", "value"]).astype(
+            {"ts": "datetime64[us]"}
+        ).to_parquet(inp / f"{name}.parquet")
+
+    t = pd.Timestamp("2026-01-01 10:00:00")
+    m = pd.Timedelta(minutes=1)
+    # batch 1: two rows in the 10:00 window
+    wave("w1", [(t + 1 * m, "click", 1.0), (t + 2 * m, "click", 2.0)])
+    # batch 2: advance event time far ahead — the watermark moves to
+    # 10:45 (past the 10:00 window's end) at this batch's END
+    wave("w2", [(t + 60 * m, "click", 5.0)])
+    # batch 3: keeps the stream moving; during it the 10:00 window is
+    # evicted+emitted with exactly the two on-time rows
+    wave("w3", [(t + 61 * m, "click", 7.0)])
+    # batch 4: a LATE row for the closed 10:00 window — DROPPED. It
+    # needs its own batch two steps after the advance: Spark filters
+    # late input with the watermark committed at the PREVIOUS batch's
+    # end, and merges-then-evicts within a batch, so a late row in
+    # batch 2 or 3 would still be merged before eviction.
+    wave("w4", [(t + 3 * m, "click", 100.0)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inp))
+    )
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # one more empty-ish trigger cycle is NOT needed: availableNow
+    # processes both files as separate batches and closes the window
+    rows = {
+        (str(r["windowStart"]), r["event_type"]): (r["nEvents"], r["totalValue"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # the 10:00 window emitted exactly the two on-time rows — the late
+    # 100.0 row was dropped by the watermark
+    assert rows.get(("2026-01-01 10:00:00", "click")) == (2, 3.0)
+
+
+def test_connected_components(spark):
+    """Hash-min CC: two components, one a 5-node chain (diameter
+    stress), one a triangle; labels = min node id per component."""
+    from datashare_extension_neo4j_spark.operators.graph_algos import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (12, 10)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["comp"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}
