@@ -42,6 +42,7 @@ def cmd_build(args) -> int:
         use_rule_ner=not args.no_ner,
         project=args.project,
         force=args.force,
+        buckets=args.buckets,
     )
     print(json.dumps(out))
     return 0
@@ -153,6 +154,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--project", default="test_project")
     b.add_argument("--no-ner", action="store_true")
     b.add_argument("--force", action="store_true")
+    b.add_argument(
+        "--buckets", type=int, default=None,
+        help="hash-partition graph tables on their merge key so "
+        "incremental imports rewrite only touched partitions",
+    )
     b.set_defaults(fn=cmd_build)
 
     inc = sub.add_parser("incremental")

@@ -114,23 +114,30 @@ def run_pipeline(
     use_rule_ner: bool = True,
     project: str = "test_project",
     force: bool = False,
+    buckets: int | None = None,
 ) -> dict:
     """Resumable end-to-end run: pages parquet → parsed → graph tables.
 
     Every stage is a manifest-guarded parquet materialization; a
     restart after a crash re-runs only incomplete/stale stages.
     Returns {table: path}.
-    """
+
+    ``buckets=N`` writes each graph table hash-partitioned on its merge
+    key so later incremental imports rewrite only touched partitions
+    (sinks/tables.py module docstring)."""
     from .operators.documents import doc_nodes, has_parent_edges
     from .operators.edges import appears_in_edges, email_edges
     from .operators.entities import entity_nodes
     from .operators.extract import parse_pages
     from .operators.ner import DEFAULT_GAZETTEER, annotated_mentions
+    from .sinks.tables import TABLE_KEYS, write_bucketed_table
 
     m = Manifest(run_dir)
     out = lambda name: str(Path(run_dir) / name)  # noqa: E731
 
-    def write(df: DataFrame):
+    def write(df: DataFrame, table: str | None = None):
+        if buckets and table in TABLE_KEYS:
+            return lambda path: write_bucketed_table(df, path, table, buckets)
         return lambda path: df.write.mode("overwrite").parquet(path)
 
     pages = spark.read.parquet(pages_path)
@@ -149,13 +156,13 @@ def run_pipeline(
     )
     parsed = spark.read.parquet(parsed_path)
     docs = doc_nodes(parsed, project=project)
-    docs_path = m.run_stage("docs", [parsed_path], out("docs"), write(docs), force=force)
+    docs_path = m.run_stage("docs", [parsed_path], out("docs"), write(docs, "docs"), force=force)
     docs = spark.read.parquet(docs_path)
     m.run_stage(
         "doc_roots",
         [docs_path],
         out("doc_roots"),
-        write(has_parent_edges(docs)),
+        write(has_parent_edges(docs), "doc_roots"),
         force=force,
     )
     mentions = annotated_mentions(parsed)
@@ -167,21 +174,21 @@ def run_pipeline(
         "entities",
         [mentions_path],
         out("entities"),
-        write(entity_nodes(mentions)),
+        write(entity_nodes(mentions), "entities"),
         force=force,
     )
     m.run_stage(
         "appears_in",
         [mentions_path],
         out("appears_in"),
-        write(appears_in_edges(mentions)),
+        write(appears_in_edges(mentions), "appears_in"),
         force=force,
     )
     m.run_stage(
         "emails",
         [mentions_path],
         out("emails"),
-        write(email_edges(mentions)),
+        write(email_edges(mentions), "emails"),
         force=force,
     )
     return {

@@ -60,6 +60,24 @@ def _read_table(spark: SparkSession, path: str) -> DataFrame:
     return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
 
+def write_bucketed_table(
+    df: DataFrame, path: str, name: str, buckets: int
+) -> None:
+    """Write one graph table hash-partitioned on its merge key, with
+    the ``_n_buckets`` sidecar pinning N for later merges (empty
+    buckets leave no partition dir, so N can't be inferred from the
+    listing). An EMPTY frame is written plain instead: a partitioned
+    write of zero rows produces no files at all (schema unreadable),
+    so empty tables stay in the plain layout until data arrives."""
+    if df.isEmpty():
+        df.write.mode("overwrite").parquet(path)
+        return
+    bucketize(df, TABLE_KEYS[name], buckets).write.mode(
+        "overwrite"
+    ).partitionBy(BUCKET_COL).parquet(path)
+    (Path(path) / "_n_buckets").write_text(str(buckets))
+
+
 def merge_bucketed(
     spark: SparkSession,
     path: str,
@@ -130,12 +148,7 @@ def materialize_graph(
 
     def write_one(name: str, df: DataFrame) -> None:
         if buckets:
-            bucketize(df, TABLE_KEYS[name], buckets).write.mode(
-                "overwrite"
-            ).partitionBy(BUCKET_COL).parquet(paths[name])
-            # sidecar pins N for later merges (empty buckets leave no
-            # partition dir, so N can't be inferred from the listing)
-            (Path(paths[name]) / "_n_buckets").write_text(str(buckets))
+            write_bucketed_table(df, paths[name], name, buckets)
         else:
             _write(df, paths[name])
 

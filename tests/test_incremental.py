@@ -2,6 +2,8 @@
 (reference tests/core/neo4j/test_documents.py:56-141) and counters
 shaped like ImportSummary (imports.py:130-135)."""
 
+from pathlib import Path
+
 from pyspark.sql import functions as F
 
 from datashare_extension_neo4j_spark.fixtures import reference_pages
@@ -181,6 +183,9 @@ def test_bucketed_merge_rewrites_only_touched_partitions(spark, tmp_path):
             if part:
                 changed_dirs.add(int(part[0].split("=")[1]))
     assert changed_dirs == expected_buckets  # only the touched bucket
+    # the bucket-count sidecar must survive dynamic overwrite, or the
+    # NEXT merge would silently fall back to the full-rewrite path
+    assert (Path(apath) / "_n_buckets").read_text() == "8"
     # and the content is the correct merge
     merged = spark.read.parquet(apath)
     key = one.collect()[0]
@@ -191,3 +196,34 @@ def test_bucketed_merge_rewrites_only_touched_partitions(spark, tmp_path):
     assert merged.count() == len(before and spark.read.parquet(apath).collect()) or True
     # total row count unchanged (pure ON MATCH update)
     assert merged.count() == g.appears_in.count()
+
+
+def test_bucketed_pipeline_end_to_end(spark, tmp_path):
+    """run_pipeline(buckets=N) → incremental_import auto-detects the
+    bucketed layout per table and produces the same counters/content
+    as the plain layout."""
+    pages_all = reference_pages(spark, n_docs=10)
+    first = pages_all.where(
+        F.regexp_extract("url", r"example-(\d+)", 1).cast("int") < 6
+    )
+    pages_path = str(tmp_path / "pages")
+    first.write.parquet(pages_path)
+    run_dir = str(tmp_path / "run")
+    run_pipeline(spark, pages_path, run_dir, buckets=4)
+    assert (Path(run_dir) / "docs" / "_n_buckets").read_text() == "4"
+    assert any(
+        p.name.startswith("_bucket=")
+        for p in (Path(run_dir) / "appears_in").iterdir()
+    )
+
+    c = incremental_import(spark, pages_all, run_dir)
+    assert c["imported"] == 10
+    assert c["nodes_created"] == 4
+    docs = spark.read.parquet(f"{run_dir}/docs")
+    assert docs.select("id").distinct().count() == 10
+    # layout survived the merge (still bucketed, sidecar intact)
+    assert (Path(run_dir) / "docs" / "_n_buckets").read_text() == "4"
+    a = spark.read.parquet(f"{run_dir}/appears_in")
+    assert (
+        a.groupBy("startId", "endId").count().where("count > 1").count() == 0
+    )
