@@ -70,11 +70,17 @@ class Manifest:
         tmp.write_text(json.dumps(self.state, indent=2, sort_keys=True))
         tmp.replace(self.path)  # atomic on POSIX
 
-    def is_complete(self, stage: str, inputs: list[str]) -> bool:
+    def is_complete(
+        self, stage: str, inputs: list[str], config: dict | None = None
+    ) -> bool:
         e = self.state["stages"].get(stage)
         if not e or e.get("status") != "complete":
             return False
         if not Path(e["output"]).exists():
+            return False
+        if e.get("config", {}) != (config or {}):
+            # write configuration changed (e.g. --buckets) — the old
+            # output has the wrong layout even if inputs are identical
             return False
         fps = [_input_fingerprint(p) for p in inputs]
         return fps == e.get("input_fingerprints")
@@ -86,10 +92,11 @@ class Manifest:
         output: str,
         fn,
         force: bool = False,
+        config: dict | None = None,
     ) -> str:
         """Run fn(output_path) unless the stage is already complete for
-        identical inputs. Returns the output path."""
-        if not force and self.is_complete(stage, inputs):
+        identical inputs AND write config. Returns the output path."""
+        if not force and self.is_complete(stage, inputs, config):
             return output
         t0 = time.perf_counter()
         fn(output)
@@ -98,6 +105,7 @@ class Manifest:
             "status": "complete",
             "output": output,
             "input_fingerprints": [_input_fingerprint(p) for p in inputs],
+            "config": config or {},
             "partitions": lineage,
             "rows_out": sum(e.get("rows", 0) for e in lineage),
             "wall_s": round(time.perf_counter() - t0, 3),
@@ -156,7 +164,10 @@ def run_pipeline(
     )
     parsed = spark.read.parquet(parsed_path)
     docs = doc_nodes(parsed, project=project)
-    docs_path = m.run_stage("docs", [parsed_path], out("docs"), write(docs, "docs"), force=force)
+    docs_path = m.run_stage(
+        "docs", [parsed_path], out("docs"), write(docs, "docs"),
+        force=force, config={"buckets": buckets},
+    )
     docs = spark.read.parquet(docs_path)
     m.run_stage(
         "doc_roots",
@@ -164,6 +175,7 @@ def run_pipeline(
         out("doc_roots"),
         write(has_parent_edges(docs), "doc_roots"),
         force=force,
+        config={"buckets": buckets},
     )
     mentions = annotated_mentions(parsed)
     mentions_path = m.run_stage(
@@ -176,6 +188,7 @@ def run_pipeline(
         out("entities"),
         write(entity_nodes(mentions), "entities"),
         force=force,
+        config={"buckets": buckets},
     )
     m.run_stage(
         "appears_in",
@@ -183,6 +196,7 @@ def run_pipeline(
         out("appears_in"),
         write(appears_in_edges(mentions), "appears_in"),
         force=force,
+        config={"buckets": buckets},
     )
     m.run_stage(
         "emails",
@@ -190,6 +204,7 @@ def run_pipeline(
         out("emails"),
         write(email_edges(mentions), "emails"),
         force=force,
+        config={"buckets": buckets},
     )
     return {
         name: out(name)

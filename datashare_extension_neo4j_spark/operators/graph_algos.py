@@ -62,5 +62,13 @@ def connected_components(
         )
         comp = new_comp
         if changed == 0:
-            break
-    return comp
+            return comp
+    # exhausting the bound without convergence means labels are WRONG
+    # (hash-min moves the min one hop per round; diameter > max_iter
+    # leaves tail nodes mislabeled) — fail loudly, never return them
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter exceeds the bound); raise max_iter or use a "
+        "round-doubling variant (large-star/small-star) for "
+        "long-chain graphs"
+    )

@@ -82,7 +82,18 @@ def _edge_filtered(g: GraphTables, rel: dict) -> DataFrame:
     return df
 
 
-def _compile_path(g: GraphTables, path: dict) -> tuple[DataFrame, bool]:
+def _compile_path(
+    g: GraphTables,
+    path: dict,
+    hidden: set[str],
+    user_names: frozenset[str] = frozenset(),
+) -> tuple[DataFrame, bool]:
+    """``hidden`` collects the generated names of anonymous pattern
+    parts (nodes/rels without a user name) — compile_query drops
+    exactly those columns at the end (Cypher's RETURN * only returns
+    named variables). Generated names are checked against every
+    user-chosen name in the query, so a user variable that happens to
+    look like ``_anon0`` is never dropped."""
     nodes = path.get("nodes") or []
     rels = path.get("relationships") or []
     if not nodes:
@@ -94,11 +105,25 @@ def _compile_path(g: GraphTables, path: dict) -> tuple[DataFrame, bool]:
             "Invalid number of nodes and relationships, found"
             f" {len(nodes)} nodes and {len(rels)} relationships"
         )
-    var0, df = _match_node(g, nodes[0], anon="_anon0")
+
+    def gen(base: str) -> str:
+        name = base
+        while name in user_names or name in hidden:
+            name = "_" + name
+        hidden.add(name)
+        return name
+
+    var0, df = _match_node(
+        g, nodes[0], anon=None if nodes[0].get("name") else gen("_anon0")
+    )
     bound = [var0]
     for i, rel in enumerate(rels):
-        nvar, ndf = _match_node(g, nodes[i + 1], anon=f"_anon{i + 1}")
-        rel_var = rel.get("name") or f"_rel{i}"
+        nvar, ndf = _match_node(
+            g,
+            nodes[i + 1],
+            anon=None if nodes[i + 1].get("name") else gen(f"_anon{i + 1}"),
+        )
+        rel_var = rel.get("name") or gen(f"_rel{i}")
         direction = rel.get("direction", "between")
         e = _edge_filtered(g, rel)
         estruct = F.struct(
@@ -175,9 +200,19 @@ def compile_query(
         raise DSLError("missing matches")
     if not matches:
         raise DSLError("empty matches")
+    hidden: set[str] = set()
+    user_names = frozenset(
+        spec.get("name")
+        for m in matches
+        for spec in (
+            (m.get("path", {}).get("nodes") or [])
+            + (m.get("path", {}).get("relationships") or [])
+        )
+        if spec.get("name")
+    )
     df: DataFrame | None = None
     for m in matches:
-        pdf, optional = _compile_path(g, m["path"])
+        pdf, optional = _compile_path(g, m["path"], hidden, user_names)
         if df is None:
             if optional:
                 # leading OPTIONAL MATCH (fixture query_optional_match
@@ -230,10 +265,7 @@ def compile_query(
     eff = min(limit, default_limit) if limit is not None else default_limit
     df = df.limit(eff)
     # anonymous pattern parts are traversed but not returned (RETURN *)
-    named = [
-        c for c in df.columns
-        if not (c.startswith("_anon") or c.startswith("_rel"))
-    ]
+    named = [c for c in df.columns if c not in hidden]
     return df.select(*named) if len(named) < len(df.columns) else df
 
 

@@ -220,11 +220,11 @@ def export_graph_csvs_distributed(
     a metadata.json whose nodePaths/relationshipPaths list every part —
     the reference's Neo4jCSVs shape allows multiple paths per type
     (core/objects.py:93-115) and neo4j-admin consumes them comma-joined
-    (scripts/bulk-import.sh contract). Counts come from a re-scan of
-    the written text (cheap IO pass, no pipeline recompute)."""
+    (scripts/bulk-import.sh contract). Counts come from the RECORD
+    stream, not a line re-scan: a quoted field with an embedded newline
+    spans two physical lines, so read.text would overcount."""
     d = Path(export_dir)
     d.mkdir(parents=True, exist_ok=True)
-    spark = docs.sparkSession
     specs = [
         ("docs", DOCS_HEADER, doc_nodes_csv_lines(docs)),
         ("doc-roots", DOC_ROOTS_HEADER, doc_roots_csv_lines(doc_roots)),
@@ -237,15 +237,16 @@ def export_graph_csvs_distributed(
     for name, header, lines in specs:
         (d / f"{name}-header.csv").write_text(neo4j_header_line(header))
         part_dir = d / name
-        write_csv_distributed(lines, str(part_dir))
-        rel = sorted(
+        lines = lines.persist()
+        try:
+            write_csv_distributed(lines, str(part_dir))
+            counts[name] = lines.count()
+        finally:
+            lines.unpersist()
+        parts[name] = sorted(
             str(p.relative_to(d))
             for p in part_dir.iterdir()
             if p.name.startswith("part-")
-        )
-        parts[name] = rel
-        counts[name] = (
-            spark.read.text(str(part_dir)).count() if rel else 0
         )
     metadata = {
         "db": db,

@@ -47,13 +47,6 @@ def bucketize(df: DataFrame, key_cols: list[str], n: int) -> DataFrame:
     )
 
 
-def is_bucketed(path: str) -> bool:
-    p = Path(path)
-    return p.is_dir() and any(
-        c.name.startswith(f"{BUCKET_COL}=") for c in p.iterdir()
-    )
-
-
 def _read_table(spark: SparkSession, path: str) -> DataFrame:
     """Read dropping the physical bucket column if present."""
     df = spark.read.parquet(path)
@@ -92,6 +85,10 @@ def merge_bucketed(
     holds the per-table ON MATCH semantics. Returns touched buckets."""
     up = bucketize(updates, key_cols, n_buckets)
     touched = [r[0] for r in up.select(BUCKET_COL).distinct().collect()]
+    if not touched:
+        # empty increment: nothing to merge — and a partitioned write
+        # of zero rows would produce an unreadable tmp dir (no files)
+        return []
     old = (
         spark.read.parquet(path)
         .where(F.col(BUCKET_COL).isin(touched))
@@ -372,13 +369,6 @@ def incremental_import_mentions(
         "relationships_created": (post - pre) + (emails_post - emails_pre),
         "entities_created": ents_created,
     }
-
-
-def merge_emails(
-    spark: SparkSession, existing_path: str, updates: DataFrame
-) -> DataFrame:
-    """Path wrapper over combine_emails (read old, return merged)."""
-    return combine_emails(_read_table(spark, existing_path), updates)
 
 
 def merge_appears_in(

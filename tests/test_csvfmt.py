@@ -152,3 +152,39 @@ def test_tar_keeps_header_files(spark, tmp_path):
     with tarfile.open(tmp_path / "neo4j-export.tar.gz") as tf:
         names = set(tf.getnames())
     assert "docs.csv" in names and "docs-header.csv" in names
+
+
+def test_distributed_export_counts_embedded_newlines(spark, tmp_path):
+    """metadata.json record counts must count RECORDS, not physical
+    lines: a quoted field with an embedded newline spans two lines."""
+    from datashare_extension_neo4j_spark.sinks.neo4j_csv import (
+        export_graph_csvs_distributed,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("doc-0", "d", "text/html", 1, "2023", 0, "p", "title\nwith newline",
+             "u", "2022", "2022"),
+            ("doc-1", "d", "text/html", 1, "2023", 0, "p", "plain", "u",
+             "2022", "2022"),
+        ],
+        "id string, dirname string, contentType string, contentLength long,"
+        " extractionDate string, extractionLevel long, path string,"
+        " title string, urlSuffix string, createdAt string, modifiedAt string",
+    )
+    empty = lambda schema: spark.createDataFrame([], schema)  # noqa: E731
+    meta = export_graph_csvs_distributed(
+        docs=docs,
+        doc_roots=empty("src string, dst string"),
+        entities=empty("entityId string, mentionNorm string, label string"),
+        appears_in=empty(
+            "mentionExtractors array<string>, extractorLanguage string,"
+            " mentionIds array<string>, offsets array<long>,"
+            " startId string, endId string, type string"
+        ),
+        emails=empty(
+            "fields array<string>, startId string, endId string, type string"
+        ),
+        export_dir=tmp_path,
+    )
+    assert meta["nodes"][0]["nNodes"] == 2  # not 3

@@ -250,3 +250,16 @@ def test_multi_key_order_by(g):
     # text/html, path desc puts b/2 (doc-2) before a/0 (doc-0).
     # Last-key-only ordering would give [doc-2, doc-1, doc-0].
     assert out == ["doc-1", "doc-2", "doc-0"]
+
+
+def test_user_variable_with_anon_like_name_survives(g):
+    """A user-chosen variable that LOOKS like a generated placeholder
+    (_anonymized, _related) must not be dropped from the output."""
+    q = {
+        "matches": [
+            {"path": {"nodes": [{"name": "_anonymized", "labels": ["Document"]}]}}
+        ]
+    }
+    out = compile_query(g, q)
+    assert out.columns == ["_anonymized"]
+    assert out.count() == 3
