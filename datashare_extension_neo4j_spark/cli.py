@@ -1,8 +1,7 @@
 """spark-submit entry point.
 
     spark-submit --py-files dist/datashare_extension_neo4j_spark.zip \
-        -m datashare_extension_neo4j_spark.cli -- \
-        build --pages /data/pages --run-dir /data/run
+        tools/submit_cli.py build --pages /data/pages --run-dir /data/run
 
 or equivalently ``python -m datashare_extension_neo4j_spark.cli …``
 locally. Subcommands:
@@ -104,13 +103,15 @@ def cmd_dump(args) -> int:
 
     spark = _spark(args.master)
     rd = args.run_dir
+    from .sinks.tables import _read_table
+
     g = GraphBuild(
-        docs=spark.read.parquet(f"{rd}/docs"),
-        doc_roots=spark.read.parquet(f"{rd}/doc_roots"),
+        docs=_read_table(spark, f"{rd}/docs"),
+        doc_roots=_read_table(spark, f"{rd}/doc_roots"),
         mentions=spark.read.parquet(f"{rd}/mentions"),
-        entities=spark.read.parquet(f"{rd}/entities"),
-        appears_in=spark.read.parquet(f"{rd}/appears_in"),
-        emails=spark.read.parquet(f"{rd}/emails"),
+        entities=_read_table(spark, f"{rd}/entities"),
+        appears_in=_read_table(spark, f"{rd}/appears_in"),
+        emails=_read_table(spark, f"{rd}/emails"),
     )
     tables: GraphTables = to_property_graph(g)
     query = json.loads(args.query) if args.query else None
@@ -130,13 +131,15 @@ def cmd_stats(args) -> int:
 
     spark = _spark(args.master)
     rd = args.run_dir
+    from .sinks.tables import _read_table
+
     g = GraphBuild(
-        docs=spark.read.parquet(f"{rd}/docs"),
-        doc_roots=spark.read.parquet(f"{rd}/doc_roots"),
+        docs=_read_table(spark, f"{rd}/docs"),
+        doc_roots=_read_table(spark, f"{rd}/doc_roots"),
         mentions=spark.read.parquet(f"{rd}/mentions"),
-        entities=spark.read.parquet(f"{rd}/entities"),
-        appears_in=spark.read.parquet(f"{rd}/appears_in"),
-        emails=spark.read.parquet(f"{rd}/emails"),
+        entities=_read_table(spark, f"{rd}/entities"),
+        appears_in=_read_table(spark, f"{rd}/appears_in"),
+        emails=_read_table(spark, f"{rd}/emails"),
     )
     stats = write_statistics(spark, g, f"{rd}/stats")
     print(json.dumps(stats))

@@ -294,3 +294,21 @@ def test_connected_components(spark):
         r["node"]: r["comp"] for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_connected_components_long_chain(spark):
+    """Pointer jumping collapses a 200-node chain within the round
+    bound (pure hash-min needs diameter rounds and would raise)."""
+    from datashare_extension_neo4j_spark.operators.graph_algos import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, max_iter=15).collect()
+    }
+    assert len(got) == 201
+    assert set(got.values()) == {0}
