@@ -489,14 +489,10 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (k=8, md5-based — engine-portable and fully
-    deterministic) + LSH band keys (b=2, r=4). The banding step of
-    shingle→minhash→band→bucket-join dedup; bucket-join pairs in
-    dedup_minhash_pairs."""
-    w = _shingles(spark, sf_dir).withColumnRenamed("shingle", "word")
-    # all k minhashes in ONE aggregation pass — map-side partial min
-    # per seed, no seed explosion, 1 shuffle of k small columns
+def _sig_with_bands(w: DataFrame) -> DataFrame:
+    """(doc_id, word) → (doc_id, sig, band0, band1): all k minhashes in
+    ONE aggregation pass — map-side partial min per seed, no seed
+    explosion, 1 shuffle of k small columns."""
     per_doc = w.groupBy("doc_id").agg(
         F.concat_ws(
             ",",
@@ -512,6 +508,16 @@ def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_doc.select(
         "doc_id", "sig", band(0).alias("band0"), band(1).alias("band1")
+    )
+
+
+def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8, md5-based — engine-portable and fully
+    deterministic) + LSH band keys (b=2, r=4). The banding step of
+    shingle→minhash→band→bucket-join dedup; bucket-join pairs in
+    dedup_minhash_pairs."""
+    return _sig_with_bands(
+        _shingles(spark, sf_dir).withColumnRenamed("shingle", "word")
     )
 
 
@@ -543,7 +549,10 @@ FROM per_doc
 
 
 def dedup_minhash_pairs(
-    spark: SparkSession, sf_dir: str, max_bucket: int = 10_000
+    spark: SparkSession,
+    sf_dir: str,
+    max_bucket: int = 10_000,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs (same band bucket) verified with exact
     shingle-set Jaccard ≥ 0.5. Bucket self-join replaces the all-pairs
@@ -557,12 +566,21 @@ def dedup_minhash_pairs(
     co-partitioned agg, not a new shuffle profile. The default never
     binds at test scale (oracle-identical); the cap path is exercised
     by tests/test_extras.py with a forced hot bucket."""
-    sig = dedup_minhash_sig(spark, sf_dir)
+    # the shingle stream feeds BOTH the signature pass and the exact
+    # verification. persist_shingles=True caches it instead of
+    # exploding the corpus twice — worth it when the recompute (here a
+    # cheap split over local parquet) is expensive, e.g. remote storage
+    # at real scale; measured NEGATIVE at bench scale (5.9s → 10.2s:
+    # the materialization serializes what AQE otherwise pipelines), so
+    # recompute is the default.
+    w = _shingles(spark, sf_dir).withColumnRenamed("shingle", "word")
+    if persist_shingles:
+        w = w.persist()
+    sig = _sig_with_bands(w)
     bands = sig.select(
         "doc_id", F.explode(F.array("band0", "band1")).alias("band")
     )
     cand = minhash_band_pairs(bands, max_bucket)
-    w = _shingles(spark, sf_dir).withColumnRenamed("shingle", "word")
     sizes = w.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         cand.join(w.alias("wa"), F.col("docA") == F.col("wa.doc_id"))

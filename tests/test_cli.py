@@ -1,0 +1,51 @@
+"""CLI arg wiring end-to-end (in-process): build → incremental →
+import-mentions → export-csv --distributed → stats, sharing the
+session via getOrCreate."""
+
+import json
+
+from datashare_extension_neo4j_spark.cli import main
+from datashare_extension_neo4j_spark.fixtures import reference_pages
+
+
+def test_cli_full_cycle(spark, tmp_path, capsys):
+    pages = reference_pages(spark, n_docs=6)
+    pages_path = str(tmp_path / "pages")
+    pages.write.parquet(pages_path)
+    run_dir = str(tmp_path / "run")
+
+    assert main(["build", "--pages", pages_path, "--run-dir", run_dir,
+                 "--buckets", "2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["docs"].endswith("/docs")
+
+    # incremental re-import of the same pages: zero created
+    assert main(["incremental", "--pages", pages_path,
+                 "--run-dir", run_dir]) == 0
+    c = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert c["nodes_created"] == 0 and c["relationships_created"] == 0
+
+    # NE-only batch via CLI
+    from datashare_extension_neo4j_spark.schemas import MENTION_SCHEMA
+
+    m_path = str(tmp_path / "mentions")
+    spark.createDataFrame(
+        [("m-late", "doc-1", "PERSON", "Zoe", "zoe", 3, "CORENLP", "en",
+          [1], None)],
+        MENTION_SCHEMA,
+    ).write.parquet(m_path)
+    assert main(["import-mentions", "--mentions", m_path,
+                 "--run-dir", run_dir]) == 0
+    c2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert c2["imported"] == 1 and c2["entities_created"] == 1
+
+    exp = str(tmp_path / "export")
+    assert main(["export-csv", "--run-dir", run_dir, "--export-dir", exp,
+                 "--distributed"]) == 0
+    md = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert md["nodes"][0]["nNodes"] == 6
+    assert all(len(n["nodePaths"]) >= 1 for n in md["nodes"])
+
+    assert main(["stats", "--run-dir", run_dir]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st  # singleton written and echoed
