@@ -688,29 +688,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document: bit i votes on the high bit of the
     i-th hex nibble of md5(word) over the distinct word set.
 
-    All 16 bit-votes are conditional sums inside ONE groupBy(doc_id) —
-    no crossJoin with a bits table (which would shuffle 16× the word
-    stream), one Exchange of doc-sized rows."""
-    w = (
-        _words(_docs(spark, sf_dir))
-        .where(F.col("word") != "")
-        .select("doc_id", F.md5("word").alias("h"))
-        .distinct()
-    )
-    high = lambda i: F.when(  # noqa: E731
-        F.substring(F.col("h"), i + 1, 1).isin(
-            "8", "9", "a", "b", "c", "d", "e", "f"
-        ),
-        1,
-    ).otherwise(-1)
-    votes = w.groupBy("doc_id").agg(
-        *[F.sum(high(i)).alias(f"s{i}") for i in range(_SIMHASH_BITS)]
+    Shuffle-FREE: the distinct word-hash set never crosses documents,
+    so it's an in-row ``array_distinct`` over the token array and each
+    bit-vote an ``aggregate`` over that array — a pure scan+project
+    plan with zero Exchange (the round-1 crossJoin version shuffled the
+    word stream 16×; the round-2 groupBy version still shuffled it
+    twice)."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    # materialize the hash array ONCE per row: lambda expressions are
+    # not common-subexpression-eliminated across the 16 votes, so
+    # inlining `hs` would recompute md5 over every token 16×
+    staged = d.select(
+        "doc_id", F.array_distinct(F.transform(toks, F.md5)).alias("_hs")
+    ).where(F.size("_hs") > 0)
+    high = {"8", "9", "a", "b", "c", "d", "e", "f"}
+    vote = lambda i: F.aggregate(  # noqa: E731
+        F.col("_hs"),
+        F.lit(0),
+        lambda acc, h: acc
+        + F.when(F.substring(h, i + 1, 1).isin(*high), 1).otherwise(-1),
     )
     sim = None
     for i in range(_SIMHASH_BITS):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        term = F.when(vote(i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    return votes.select("doc_id", sim.cast("long").alias("simhash"))
+    return staged.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 ORACLE_DEDUP_SIMHASH = f"""
