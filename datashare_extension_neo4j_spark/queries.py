@@ -418,16 +418,26 @@ FROM documents GROUP BY md5(text)
 
 def dedup_wordset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive exact dedup: hash of the sorted distinct word
-    set; returns every doc with its wordset key + group size."""
-    w = _words(_docs(spark, sf_dir)).where(F.col("word") != "")
-    keys = w.groupBy("doc_id").agg(
-        F.md5(
-            F.concat_ws(" ", F.array_sort(F.collect_set("word")))
-        ).alias("wordsetKey")
-    )
+    set; returns every duplicate group with its size + keeper.
+
+    The wordset key never crosses documents, so it's an IN-ROW
+    ``array_sort(array_distinct(...))`` — the only shuffle left is the
+    tiny groupBy on the 32-char key (the explode→groupBy(doc_id)
+    version shuffled the whole token stream first)."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    key = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    ).alias("wordsetKey")
     return (
-        keys.groupBy("wordsetKey")
-        .agg(F.count("*").cast("long").alias("nDocs"), F.min("doc_id").alias("keepDocId"))
+        # all-empty docs have no rows in the oracle's grouped form
+        d.where(F.size(toks) > 0)
+        .select("doc_id", key)
+        .groupBy("wordsetKey")
+        .agg(
+            F.count("*").cast("long").alias("nDocs"),
+            F.min("doc_id").alias("keepDocId"),
+        )
         .where(F.col("nDocs") > 1)
     )
 
