@@ -51,21 +51,21 @@ def appears_in_edges(mentions: DataFrame, salted: bool = False, salt_buckets: in
                 F.collect_list("id").alias("_ids"),
                 F.collect_set("extractor").alias("_extractors"),
                 F.flatten(F.collect_list("offsets")).alias("_offsets"),
-                F.first("extractorLanguage", ignorenulls=True).alias("_lang"),
+                F.min("extractorLanguage").alias("_lang"),
             )
         )
         grouped = partial.groupBy(*_KEY).agg(
             F.flatten(F.collect_list("_ids")).alias("_ids"),
             F.flatten(F.collect_set("_extractors")).alias("_extractors"),
             F.flatten(F.collect_list("_offsets")).alias("_offsets"),
-            F.first("_lang", ignorenulls=True).alias("_lang"),
+            F.min("_lang").alias("_lang"),
         )
     else:
         grouped = mentions.groupBy(*_KEY).agg(
             F.collect_list("id").alias("_ids"),
             F.collect_set("extractor").alias("_extractors"),
             F.flatten(F.collect_list("offsets")).alias("_offsets"),
-            F.first("extractorLanguage", ignorenulls=True).alias("_lang"),
+            F.min("extractorLanguage").alias("_lang"),
         )
     return grouped.select(
         "mentionNorm",

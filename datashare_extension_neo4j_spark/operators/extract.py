@@ -142,8 +142,12 @@ def aggregate_doc_edges(mentions: list[dict]) -> list[dict]:
         if m.get("extractor"):
             a["extractors"].add(m["extractor"])
         a["offsets"].update(offs)
-        if a["lang"] is None and m.get("extractorLanguage"):
-            a["lang"] = m["extractorLanguage"]
+        # min over languages: deterministic under ANY mention order,
+        # matching the groupBy paths (F.min) — 'first seen' depends on
+        # partition/markup order and broke the byte-identical invariant
+        ml = m.get("extractorLanguage")
+        if ml and (a["lang"] is None or ml < a["lang"]):
+            a["lang"] = ml
         hdr = m.get("emailHeaderField")
         if hdr in _SENT_HEADERS:
             etype = "SENT"
@@ -227,6 +231,12 @@ def _parse_one(url, warc_ts, html, text, lang) -> dict:
     doc_meta = {k[5:]: v for k, v in m.items() if k.startswith("meta:")}
     mentions = []
     for sp in p.mentions:
+        if not (sp.get("data-id") and sp.get("data-norm") and sp.get("data-category")):
+            # hostile/partial markup: a span missing its identity is
+            # not a mention — drop it rather than crash downstream
+            # (None norms are unsortable in aggregate_doc_edges and
+            # violate MENTION_SCHEMA's non-null fields)
+            continue
         offs = "|".join(
             o for o in sp.get("data-offsets", "").split(";") if o != ""
         )
@@ -255,8 +265,10 @@ def _parse_one(url, warc_ts, html, text, lang) -> dict:
         "contentLength": int(m["contentLength"])
         if "contentLength" in m
         else (len(html) if html is not None else 0),
+        # pd.isna guard: a null timestamp arrives as pd.NaT, which is
+        # not None and whose isoformat() is the literal string 'NaT'
         "extractionDate": m.get("extractionDate")
-        or (warc_ts.isoformat() if warc_ts is not None else None),
+        or (warc_ts.isoformat() if not pd.isna(warc_ts) else None),
         "extractionLevel": int(m.get("extractionLevel", "0")),
         "path": path,
         "title": m.get("title") or None,

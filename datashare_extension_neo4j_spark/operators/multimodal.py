@@ -64,18 +64,36 @@ def decode_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if require_real:
             try:
-                import PIL.Image  # noqa: F401
+                import PIL.Image
             except ImportError as e:  # pragma: no cover - env dependent
                 raise NotImplementedError(
                     "real image decode requires pillow; install it on the "
                     "cluster or use the deterministic fake decoder"
                 ) from e
+
+            def decode(content):  # pragma: no cover - env dependent
+                # REAL decode when pillow exists — require_real must
+                # never silently return the fake dimensions
+                if not content:
+                    return (0, 0, 0, "")
+                import hashlib
+                import io
+
+                img = PIL.Image.open(io.BytesIO(bytes(content)))
+                return (
+                    img.width,
+                    img.height,
+                    len(img.getbands()),
+                    hashlib.sha256(bytes(content)).hexdigest()[:16],
+                )
+        else:
+            decode = fake_image_decode
         for pdf in batches:
             rows = []
             for aid, did, content in zip(
                 pdf["asset_id"], pdf["doc_id"], pdf["content"]
             ):
-                w, h, c, hx = fake_image_decode(content)
+                w, h, c, hx = decode(content)
                 rows.append(
                     {
                         "asset_id": aid,

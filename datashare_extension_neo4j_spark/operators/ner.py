@@ -197,7 +197,13 @@ def rule_based_mentions(
     lang_col: str = "lang",
 ) -> DataFrame:
     """Deterministic regex/gazetteer NER over extracted text."""
-    gaz = DEFAULT_GAZETTEER if gazetteer is None else gazetteer
+    # matching is case-insensitive and lookups use the lower-cased hit,
+    # so caller-supplied keys must be normalized too (a mixed-case key
+    # like {'Apple': 'ORG'} would otherwise KeyError on the executor)
+    gaz = {
+        k.lower(): v
+        for k, v in (DEFAULT_GAZETTEER if gazetteer is None else gazetteer).items()
+    }
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -36,7 +36,14 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    """Null (not NaN) for zero-norm vectors: 0.0/0.0 is NaN, and Spark
+    sorts NaN ABOVE every real number, so an unguarded zero vector
+    (e.g. an embedding for empty content) would outrank every true
+    neighbor under desc ordering; nulls sort last instead."""
+    na2, nb2 = dot(a, a), dot(b, b)
+    return F.when(
+        (na2 > 0) & (nb2 > 0), dot(a, b) / (F.sqrt(na2) * F.sqrt(nb2))
+    )
 
 
 def cosine_topk(

@@ -113,16 +113,33 @@ def _compile_path(
         hidden.add(name)
         return name
 
+    def _bound_conditions(var: str, spec: dict) -> list[Column]:
+        """Node-spec filters re-expressed over an ALREADY-bound struct
+        (cycle patterns: (a)-->(b)-->(a) re-uses variable a)."""
+        conds = [
+            F.array_contains(F.col(f"{var}.labels"), label)
+            for label in (spec.get("labels") or [])
+        ]
+        conds += [
+            F.col(f"{var}.props").getItem(k) == F.lit(v)
+            for k, v in (spec.get("properties") or {}).items()
+        ]
+        return conds
+
     var0, df = _match_node(
         g, nodes[0], anon=None if nodes[0].get("name") else gen("_anon0")
     )
     bound = [var0]
     for i, rel in enumerate(rels):
-        nvar, ndf = _match_node(
-            g,
-            nodes[i + 1],
-            anon=None if nodes[i + 1].get("name") else gen(f"_anon{i + 1}"),
-        )
+        nspec = nodes[i + 1]
+        nvar_user = nspec.get("name")
+        cycle = nvar_user is not None and nvar_user in bound
+        if cycle:
+            nvar, ndf = nvar_user, None
+        else:
+            nvar, ndf = _match_node(
+                g, nspec, anon=None if nvar_user else gen(f"_anon{i + 1}")
+            )
         rel_var = rel.get("name") or gen(f"_rel{i}")
         direction = rel.get("direction", "between")
         e = _edge_filtered(g, rel)
@@ -148,12 +165,27 @@ def _compile_path(
             e = e1.unionByName(e2)
         else:
             raise DSLError(f"unknown direction: {direction}")
-        df = (
-            df.join(e, F.col(f"{bound[-1]}.node_id") == F.col("_a"))
-            .join(ndf, F.col("_b") == F.col(f"{nvar}.node_id"))
-            .drop("_a", "_b")
-        )
-        bound.extend([rel_var, nvar])
+        if cycle:
+            # repeated variable: constrain the edge end to the node
+            # already bound under that name (no second scan/column)
+            df = (
+                df.join(e, F.col(f"{bound[-1]}.node_id") == F.col("_a"))
+                .where(F.col("_b") == F.col(f"{nvar}.node_id"))
+                .drop("_a", "_b")
+            )
+            for cond in _bound_conditions(nvar, nspec):
+                df = df.where(cond)
+            # bound[-1] must stay the current right-hand node var for
+            # the next hop's join (nvar repeats, which is harmless for
+            # the membership check)
+            bound.extend([rel_var, nvar])
+        else:
+            df = (
+                df.join(e, F.col(f"{bound[-1]}.node_id") == F.col("_a"))
+                .join(ndf, F.col("_b") == F.col(f"{nvar}.node_id"))
+                .drop("_a", "_b")
+            )
+            bound.extend([rel_var, nvar])
     return df, bool(path.get("optional", False))
 
 
@@ -308,11 +340,15 @@ def compile_dump_query(
         F.col(f"{doc_var}.node_id").alias("node_id")
     ).distinct()
     rels = g.edges.where(F.col("type").isin(*DUMP_EDGE_TYPES))
-    # undirected attachment: either endpoint is a dumped doc
+    # undirected attachment: either endpoint is a dumped doc. Two
+    # hash-joinable equi semi-joins unioned — an OR join condition
+    # can't hash-partition and degenerates to a nested-loop join over
+    # the whole edge table (O(E·D) at scale); the final
+    # dropDuplicates removes edges whose BOTH endpoints are docs.
     sub_edges = rels.join(
-        doc_ids,
-        (rels.src == doc_ids.node_id) | (rels.dst == doc_ids.node_id),
-        "left_semi",
+        doc_ids, rels.src == doc_ids.node_id, "left_semi"
+    ).unionByName(
+        rels.join(doc_ids, rels.dst == doc_ids.node_id, "left_semi")
     )
     ne_ids = (
         sub_edges.select(F.col("src").alias("node_id"))

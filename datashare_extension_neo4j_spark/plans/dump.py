@@ -90,14 +90,25 @@ def dump_graphml(nodes: DataFrame, edges: DataFrame, out: TextIO) -> int:
     return n
 
 
+def _cy_str(v) -> str:
+    """Single-quoted Cypher string literal with escaping."""
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _cy_ident(name: str) -> str:
+    """Backtick-quoted identifier (labels, rel types, property keys) —
+    ids/labels derive from page urls and entity text, so they can carry
+    any character."""
+    return "`" + str(name).replace("`", "``") + "`"
+
+
 def _cypher_props(props: dict | None, extra: dict | None = None) -> str:
     items = dict(extra or {})
     items.update({k: v for k, v in (props or {}).items() if v is not None})
     if not items:
         return ""
     body = ", ".join(
-        f"{k}:" + "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
-        for k, v in sorted(items.items())
+        f"{_cy_ident(k)}: {_cy_str(v)}" for k, v in sorted(items.items())
     )
     return " {" + body + "}"
 
@@ -124,16 +135,23 @@ def dump_cypher(
 
     def node_stmts():
         for row in nodes.toLocalIterator():
-            labels = ":".join(row["labels"])
+            labels = ":".join(_cy_ident(l) for l in row["labels"])
             props = _cypher_props(row["props"], {"_id": row["node_id"]})
             yield f"CREATE (:{labels}{props});"
 
     def edge_stmts():
+        # node ids default to page urls — apostrophes/backslashes are
+        # legal there, so interpolation must escape like any value
         for row in edges.toLocalIterator():
             props = _cypher_props(row["props"])
             yield (
-                "MATCH (a {_id:'%s'}), (b {_id:'%s'}) CREATE (a)-[:%s%s]->(b);"
-                % (row["src"], row["dst"], row["type"], props)
+                "MATCH (a {_id:%s}), (b {_id:%s}) CREATE (a)-[:%s%s]->(b);"
+                % (
+                    _cy_str(row["src"]),
+                    _cy_str(row["dst"]),
+                    _cy_ident(row["type"]),
+                    props,
+                )
             )
 
     n = batches(node_stmts())

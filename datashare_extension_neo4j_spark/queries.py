@@ -899,26 +899,26 @@ FROM s GROUP BY user_id, sessionId
 
 
 def _cosine(a: F.Column, b: F.Column) -> F.Column:
+    """Null for zero-norm vectors (NaN would sort above every real
+    cosine under desc) — the oracle mirrors this with CASE WHEN."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    na2 = F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
-    nb = F.sqrt(
-        F.aggregate(
-            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    nb2 = F.aggregate(
+        F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
-    return dot / (na * nb)
+    return F.when(
+        (na2 > 0) & (nb2 > 0), dot / (F.sqrt(na2) * F.sqrt(nb2))
+    )
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -949,9 +949,11 @@ WITH q AS (
   SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10
 ), scored AS (
   SELECT q.qid, e.vec_id AS nid,
-         list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+         CASE WHEN list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) > 0
+               AND list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) > 0
+         THEN list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
            (sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))) *
-            sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos
+            sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) END AS cos
   FROM q, embeddings e WHERE e.vec_id != q.qid
 ), ranked AS (
   SELECT qid, nid, cos,
@@ -984,15 +986,15 @@ ORACLE_EMBED_NEARDUP = """
 WITH probe AS (
   SELECT vec_id AS aid, embedding AS av FROM embeddings WHERE vec_id < 100
 )
-SELECT p.aid, e.vec_id AS bid,
-       round(list_dot_product(CAST(p.av AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
-             (sqrt(list_dot_product(CAST(p.av AS DOUBLE[]), CAST(p.av AS DOUBLE[]))) *
-              sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) AS cosine
-FROM probe p, embeddings e
-WHERE e.vec_id > p.aid
-  AND round(list_dot_product(CAST(p.av AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
-            (sqrt(list_dot_product(CAST(p.av AS DOUBLE[]), CAST(p.av AS DOUBLE[]))) *
-             sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) >= 0.4
+SELECT aid, bid, cosine FROM (
+  SELECT p.aid, e.vec_id AS bid,
+         CASE WHEN list_dot_product(CAST(p.av AS DOUBLE[]), CAST(p.av AS DOUBLE[])) > 0
+               AND list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) > 0
+         THEN round(list_dot_product(CAST(p.av AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(p.av AS DOUBLE[]), CAST(p.av AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) END AS cosine
+  FROM probe p, embeddings e WHERE e.vec_id > p.aid
+) WHERE cosine >= 0.4
 """
 
 

@@ -197,9 +197,7 @@ def combine_appears_in(old: DataFrame, new: DataFrame) -> DataFrame:
             _MERGED_ARR("mentionIds").alias("mentionIds"),
             _MERGED_ARR("mentionExtractors").alias("mentionExtractors"),
             _MERGED_ARR("offsets").alias("offsets"),
-            F.first("extractorLanguage", ignorenulls=True).alias(
-                "extractorLanguage"
-            ),
+            F.min("extractorLanguage").alias("extractorLanguage"),
         )
         .withColumn("mentionCount", F.size(F.col("mentionIds")))
     )

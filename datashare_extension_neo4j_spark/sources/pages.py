@@ -49,6 +49,16 @@ def read_pages(
             reader = reader.option("snapshot-id", str(snapshot_id))
         df = reader.table(source)
     else:
+        if snapshot_id is not None:
+            # never silently drop a point-in-time pin: reading current
+            # data while the caller believes it pinned a snapshot is a
+            # correctness hazard (manifests would record a PIT that was
+            # never applied)
+            raise ValueError(
+                f"snapshot_id={snapshot_id} requires an Iceberg table; "
+                f"{source!r} resolves to the parquet fallback (no "
+                "catalog, transient catalog error, or a path was given)"
+            )
         df = spark.read.parquet(source)
     if langs:
         df = df.where(F.col("lang").isin(*langs))

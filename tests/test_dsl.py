@@ -263,3 +263,77 @@ def test_user_variable_with_anon_like_name_survives(g):
     out = compile_query(g, q)
     assert out.columns == ["_anonymized"]
     assert out.count() == 3
+
+
+def test_cycle_pattern(g):
+    """Repeated node variable binds the SAME node: (a)-[:X]->(b)-[:Y]->(a).
+    Graph has ne-1 -> doc-0 (APPEARS_IN) and doc-1 -> doc-0
+    (HAS_PARENT); a 2-hop cycle a->b->a exists only where an edge pair
+    returns to the start node — none here, so the cycle yields empty,
+    while the open 2-hop path does not."""
+    cyc = {
+        "matches": [
+            {
+                "path": {
+                    "nodes": [{"name": "a"}, {"name": "b"}, {"name": "a"}],
+                    "relationships": [
+                        {"direction": "to"},
+                        {"direction": "to"},
+                    ],
+                }
+            }
+        ]
+    }
+    assert compile_query(g, cyc).count() == 0
+    # sanity: the same shape with a distinct third variable matches
+    # (ne-2 -> doc-1 -> doc-0)
+    open_path = {
+        "matches": [
+            {
+                "path": {
+                    "nodes": [{"name": "a"}, {"name": "b"}, {"name": "c"}],
+                    "relationships": [
+                        {"direction": "to"},
+                        {"direction": "to"},
+                    ],
+                }
+            }
+        ]
+    }
+    out = compile_query(g, open_path).collect()
+    assert {(r["a"]["node_id"], r["b"]["node_id"], r["c"]["node_id"]) for r in out} == {
+        ("ne-2", "doc-1", "doc-0")
+    }
+
+
+def test_cycle_pattern_positive(spark):
+    """A genuine 2-cycle matches when the edge back exists."""
+    from datashare_extension_neo4j_spark.plans.dsl import GraphTables
+
+    nodes = spark.createDataFrame(
+        [("n1", ["N"], None), ("n2", ["N"], None)],
+        "node_id string, labels array<string>, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [("n1", "n2", "L", None), ("n2", "n1", "L", None)],
+        "src string, dst string, type string, props map<string,string>",
+    )
+    g2 = GraphTables(nodes=nodes, edges=edges)
+    cyc = {
+        "matches": [
+            {
+                "path": {
+                    "nodes": [{"name": "a"}, {"name": "b"}, {"name": "a"}],
+                    "relationships": [
+                        {"direction": "to"},
+                        {"direction": "to"},
+                    ],
+                }
+            }
+        ]
+    }
+    out = compile_query(g2, cyc).collect()
+    assert {(r["a"]["node_id"], r["b"]["node_id"]) for r in out} == {
+        ("n1", "n2"),
+        ("n2", "n1"),
+    }

@@ -63,9 +63,12 @@ def test_cypher_dump(small_graph):
     n = dump_cypher(small_graph.nodes, small_graph.edges, buf)
     text = buf.getvalue()
     assert n == 3
-    assert "CREATE (:Document {_id:'doc-id', id:'doc-id'});" in text
-    assert "CREATE (:NamedEntity:Person {_id:'ne-id', mentionNorm:'Keanu Reeves'});" in text
-    assert "CREATE (a)-[:APPEARS_IN]->(b);" in text
+    assert "CREATE (:`Document` {`_id`: 'doc-id', `id`: 'doc-id'});" in text
+    assert (
+        "CREATE (:`NamedEntity`:`Person`"
+        " {`_id`: 'ne-id', `mentionNorm`: 'Keanu Reeves'});" in text
+    )
+    assert "CREATE (a)-[:`APPEARS_IN`]->(b);" in text
     assert text.count(":begin") == 2  # node batch + edge batch
 
 

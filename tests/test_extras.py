@@ -312,3 +312,28 @@ def test_connected_components_long_chain(spark):
     }
     assert len(got) == 201
     assert set(got.values()) == {0}
+
+
+def test_cosine_zero_vector_is_null_not_nan(spark):
+    """A zero-norm vector must rank LAST (null), never first (NaN
+    sorts above every real number under desc)."""
+    from datashare_extension_neo4j_spark.operators.similarity import cosine_topk
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]), (3, [0.5, 0.5])]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = e.where("vec_id = 0").selectExpr("vec_id as qid", "embedding as qv")
+    top = cosine_topk(e, q, k=2).collect()
+    assert [r["nid"] for r in top] == [1, 3]  # zero vector not in top-2
+
+
+def test_gazetteer_mixed_case_keys(spark):
+    from datashare_extension_neo4j_spark.operators.ner import rule_based_mentions
+
+    docs = spark.createDataFrame(
+        [("d1", "I love Apple products", "en")],
+        "id string, text string, lang string",
+    )
+    out = rule_based_mentions(docs, gazetteer={"Apple": "ORGANIZATION"}).collect()
+    assert [(r["mentionNorm"], r["category"]) for r in out] == [
+        ("apple", "ORGANIZATION")
+    ]

@@ -110,3 +110,53 @@ def test_csv_quoting_of_hostile_ids(hostile_graph, tmp_path):
     assert len(rows) == len(HOSTILE_ROWS)
     ids = {r[0] for r in rows}
     assert 'doc,with“quote' in ids  # comma+quote id survived intact
+
+
+def test_null_warc_ts_extraction_date(spark):
+    """Null timestamp must yield null extractionDate, not the literal
+    string 'NaT' (pd.NaT is not None and NaT.isoformat() == 'NaT')."""
+    rows = [("https://no-ts.test/x", None,
+             b"<html><body><p>hi</p></body></html>", None, "en")]
+    g = build_graph(
+        spark.createDataFrame(rows, PAGES_SCHEMA), cache=False
+    )
+    assert g.docs.collect()[0]["extractionDate"] is None
+
+
+def test_span_without_norm_is_dropped(spark):
+    """Annotated spans missing data-norm/data-id/data-category are not
+    mentions — dropped instead of crashing the parse task."""
+    html = (
+        b'<html><body><p>x</p>'
+        b'<span class="ne" data-id="m1" data-category="PERSON"></span>'
+        b'<span class="ne" data-id="m2" data-norm="alice"'
+        b' data-category="PERSON" data-offsets="0"></span>'
+        b"</body></html>"
+    )
+    rows = [("https://partial-span.test/x", None, html, None, "en")]
+    g = build_graph(spark.createDataFrame(rows, PAGES_SCHEMA), cache=False)
+    norms = [r["mentionNorm"] for r in g.mentions.collect()]
+    assert norms == ["alice"]
+
+
+def test_cypher_dump_escapes_hostile_ids(spark, tmp_path):
+    """Node ids with apostrophes/backslashes must not break (or inject
+    into) the emitted cypher statements."""
+    import io
+
+    from datashare_extension_neo4j_spark.plans.dump import dump_cypher
+
+    nodes = spark.createDataFrame(
+        [("http://x/o'brien", ["Document"], {"id": "o'brien\\path"})],
+        "node_id string, labels array<string>, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [("http://x/o'brien", "http://x/o'brien", "APPEARS_IN", None)],
+        "src string, dst string, type string, props map<string,string>",
+    )
+    buf = io.StringIO()
+    dump_cypher(nodes, edges, buf)
+    text = buf.getvalue()
+    assert "CREATE (:`Document` {`_id`: 'http://x/o\\'brien'" in text
+    assert "MATCH (a {_id:'http://x/o\\'brien'})" in text
+    assert "o\\'brien\\\\path" in text
