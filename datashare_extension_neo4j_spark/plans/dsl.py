@@ -334,7 +334,12 @@ def compile_dump_query(
                 {"property": {"variable": "doc", "name": "path"}, "direction": "asc"}
             ],
         }
-    doc_var = q["matches"][0]["path"]["nodes"][0]["name"]
+    first_nodes = q["matches"][0].get("path", {}).get("nodes") or [{}]
+    doc_var = first_nodes[0].get("name")
+    if not doc_var:
+        # the dump pivots on the first bound variable — an anonymous
+        # first node has nothing to attach entities to
+        raise DSLError("dump query's first node must be named")
     docs = compile_query(g, q, default_limit=default_limit)
     doc_ids = docs.select(
         F.col(f"{doc_var}.node_id").alias("node_id")
