@@ -56,11 +56,12 @@ def dump_graphml(nodes: DataFrame, edges: DataFrame, out: TextIO) -> int:
     n = 0
     out.write(_GRAPHML_OPEN)
     for k in _node_prop_keys(nodes):
-        out.write(f'<key id="{k}" for="node" attr.name="{k}"/>\n')
+        # keys derive from page metadata (attacker-controlled) — quote
+        out.write(f'<key id={quoteattr(k)} for="node" attr.name={quoteattr(k)}/>\n')
     out.write('<key id="TYPE" for="node" attr.name="TYPE"/>\n')
     out.write('<key id="labels" for="node" attr.name="labels"/>\n')
     for k in _edge_prop_keys(edges):
-        out.write(f'<key id="{k}" for="edge" attr.name="{k}"/>\n')
+        out.write(f'<key id={quoteattr(k)} for="edge" attr.name={quoteattr(k)}/>\n')
     out.write('<key id="label" for="edge" attr.name="label"/>\n')
     out.write('<key id="TYPE" for="edge" attr.name="TYPE"/>\n')
     out.write('<graph id="G" edgedefault="directed">\n')
@@ -70,7 +71,7 @@ def dump_graphml(nodes: DataFrame, edges: DataFrame, out: TextIO) -> int:
         out.write(f'<data key="labels">{escape(labels)}</data>')
         for k, v in sorted((row["props"] or {}).items()):
             if v is not None:
-                out.write(f'<data key="{k}">{escape(str(v))}</data>')
+                out.write(f'<data key={quoteattr(k)}>{escape(str(v))}</data>')
         out.write("</node>\n")
         n += 1
     i = 0
@@ -82,7 +83,7 @@ def dump_graphml(nodes: DataFrame, edges: DataFrame, out: TextIO) -> int:
         out.write(f'<data key="label">{escape(row["type"])}</data>')
         for k, v in sorted((row["props"] or {}).items()):
             if v is not None:
-                out.write(f'<data key="{k}">{escape(str(v))}</data>')
+                out.write(f'<data key={quoteattr(k)}>{escape(str(v))}</data>')
         out.write("</edge>\n")
         n += 1
         i += 1

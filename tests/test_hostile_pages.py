@@ -160,3 +160,26 @@ def test_cypher_dump_escapes_hostile_ids(spark, tmp_path):
     assert "CREATE (:`Document` {`_id`: 'http://x/o\\'brien'" in text
     assert "MATCH (a {_id:'http://x/o\\'brien'})" in text
     assert "o\\'brien\\\\path" in text
+
+
+def test_graphml_dump_escapes_hostile_keys(spark):
+    """Property keys come from page metadata (attacker-controlled):
+    quotes/angle brackets must not break the XML."""
+    import io
+    from xml.etree import ElementTree
+
+    from datashare_extension_neo4j_spark.plans.dump import dump_graphml
+
+    nodes = spark.createDataFrame(
+        [("n<1>", ["Doc"], {'k"ey<x>': 'v<&>"'})],
+        "node_id string, labels array<string>, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [],
+        "src string, dst string, type string, props map<string,string>",
+    )
+    buf = io.StringIO()
+    dump_graphml(nodes, edges, buf)
+    # well-formed XML despite hostile key/value/id characters
+    root = ElementTree.fromstring(buf.getvalue())
+    assert root is not None
