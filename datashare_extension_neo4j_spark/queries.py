@@ -998,6 +998,56 @@ SELECT aid, bid, cosine FROM (
 """
 
 
+def embed_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization (min/max affine, the standard
+    embedding-storage compaction) with reconstruction error — all
+    in-row array expressions, zero shuffle. Both engines evaluate the
+    identical IEEE expression order, so 6-dp rounding is stable."""
+    e = _emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mn, mx = F.array_min(v), F.array_max(v)
+    scale = F.when(mx > mn, (mx - mn) / 255.0).otherwise(F.lit(1.0))
+    recon = F.transform(
+        v, lambda x: mn + F.round((x - mn) / scale) * scale
+    )
+    mse = (
+        F.aggregate(
+            F.zip_with(v, recon, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size(v)
+    )
+    return e.select(
+        "vec_id",
+        F.round(mn, 6).alias("vmin"),
+        F.round(mx, 6).alias("vmax"),
+        F.round(mse, 9).alias("mse"),
+    )
+
+
+ORACLE_EMBED_QUANTIZE_STATS = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), s AS (
+  SELECT vec_id, emb,
+         list_min(emb) AS mn, list_max(emb) AS mx,
+         CASE WHEN list_max(emb) > list_min(emb)
+              THEN (list_max(emb) - list_min(emb)) / 255.0
+              ELSE 1.0 END AS scale
+  FROM v
+)
+SELECT vec_id,
+       round(mn, 6) AS vmin,
+       round(mx, 6) AS vmax,
+       round(list_aggregate(list_transform(emb,
+               x -> (x - (mn + round((x - mn) / scale) * scale))
+                  * (x - (mn + round((x - mn) / scale) * scale))),
+             'sum') / len(emb), 9) AS mse
+FROM s
+"""
+
+
 # ------------------------------------------------------ text analysis
 
 
@@ -1680,6 +1730,7 @@ QUERIES = {
     "ann_ivf_recall": (ann_ivf_recall, ORACLE_ANN_RECALL),
     "media_decode": (media_decode, ORACLE_MEDIA_DECODE),
     "embed_neardup": (embed_neardup, ORACLE_EMBED_NEARDUP),
+    "embed_quantize_stats": (embed_quantize_stats, ORACLE_EMBED_QUANTIZE_STATS),
     "text_stats": (text_stats, ORACLE_TEXT_STATS),
     "lang_id": (lang_id, ORACLE_LANG_ID),
     "doc_fingerprint": (doc_fingerprint, ORACLE_DOC_FINGERPRINT),
