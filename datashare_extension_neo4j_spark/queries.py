@@ -744,14 +744,25 @@ FROM votes GROUP BY doc_id
 """
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, max_block: int = 10_000
+) -> DataFrame:
     """Exact bigram-shingle Jaccard over blocked pairs: candidates are
     documents sharing (lang, length bucket) — a deterministic blocking
     key that bounds the pair space (vs LSH banding in
-    dedup_minhash_pairs). Emits pairs with jaccard ≥ 0.3."""
+    dedup_minhash_pairs). Emits pairs with jaccard ≥ 0.3.
+
+    ``max_block`` excludes degenerate blocks before the self-join
+    (same guard as the minhash hot-bucket cap: one hot (lang, length)
+    block at web scale is quadratic); the default never binds at test
+    scale, keeping the oracle identical."""
     d = _docs(spark, sf_dir).select(
         "doc_id", "lang", (F.col("n_chars") - F.col("n_chars") % 50).alias("bucket")
     )
+    sizes_blk = d.groupBy("lang", "bucket").agg(F.count("*").alias("_bsz"))
+    d = d.join(
+        sizes_blk.where(F.col("_bsz") <= max_block), ["lang", "bucket"]
+    ).select("doc_id", "lang", "bucket")
     sh = _shingles(spark, sf_dir).withColumnRenamed("shingle", "word")
     blocked = d.alias("a").join(
         d.alias("b"),

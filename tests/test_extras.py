@@ -337,3 +337,30 @@ def test_gazetteer_mixed_case_keys(spark):
     assert [(r["mentionNorm"], r["category"]) for r in out] == [
         ("apple", "ORGANIZATION")
     ]
+
+
+def test_ngram_block_cap(spark, tmp_path):
+    """A degenerate (lang, length-bucket) block above max_block is
+    excluded from pairing; small blocks are kept."""
+    import pandas as pd
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    rows = [
+        {"doc_id": i, "text": "alpha beta gamma delta", "lang": "en",
+         "n_chars": 22}
+        for i in range(50)
+    ] + [
+        {"doc_id": 100, "text": "omega psi chi phi", "lang": "fr",
+         "n_chars": 17},
+        {"doc_id": 101, "text": "omega psi chi phi", "lang": "fr",
+         "n_chars": 17},
+    ]
+    pd.DataFrame(rows).to_parquet(sf / "documents.parquet")
+    from datashare_extension_neo4j_spark.queries import dedup_ngram_jaccard
+
+    uncapped = dedup_ngram_jaccard(spark, str(sf))
+    assert uncapped.count() == 50 * 49 // 2 + 1
+    capped = dedup_ngram_jaccard(spark, str(sf), max_block=10)
+    got = {(r["docA"], r["docB"]) for r in capped.collect()}
+    assert got == {(100, 101)}
