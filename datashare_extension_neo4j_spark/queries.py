@@ -416,6 +416,34 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def dedup_exact_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumable dedup OUTPUT: every document mapped to its
+    group's keeper (min doc_id per content hash) with a keep flag —
+    what a training-data pipeline actually filters on. Window over the
+    hash key; one shuffle."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(F.col("text")).alias("textHash")
+    )
+    keep = F.min("doc_id").over(W.partitionBy("textHash"))
+    return d.select(
+        "doc_id",
+        "textHash",
+        keep.alias("keepDocId"),
+        (F.col("doc_id") == keep).alias("isKept"),
+    )
+
+
+ORACLE_DEDUP_EXACT_ASSIGN = """
+SELECT doc_id,
+       md5(text) AS textHash,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS keepDocId,
+       doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS isKept
+FROM documents
+"""
+
+
 def dedup_wordset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive exact dedup: hash of the sorted distinct word
     set; returns every duplicate group with its size + keeper.
@@ -1723,6 +1751,7 @@ QUERIES = {
     "kg_stats": (kg_stats, ORACLE_KG_STATS),
     "kg_dump_default": (kg_dump_default, ORACLE_KG_DUMP_DEFAULT),
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_exact_assign": (dedup_exact_assign, ORACLE_DEDUP_EXACT_ASSIGN),
     "dedup_wordset": (dedup_wordset, ORACLE_DEDUP_WORDSET),
     "dedup_minhash_sig": (dedup_minhash_sig, ORACLE_DEDUP_MINHASH_SIG),
     "dedup_minhash_pairs": (dedup_minhash_pairs, ORACLE_DEDUP_MINHASH_PAIRS),
