@@ -206,6 +206,11 @@ def run_pipeline(
         force=force,
         config={"buckets": buckets},
     )
+    # constraint/index manifest + migration ladder (reference runs its
+    # migrations at startup; fresh tables are already at head)
+    from .migrations import apply_migrations
+
+    apply_migrations(spark, run_dir, assume_current=True)
     return {
         name: out(name)
         for name in (

@@ -28,11 +28,17 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for the undirected graph of ``edges``;
     component = min node id in the component (deterministic)."""
+    # materialize the symmetrized edge list ONCE: ``edges`` may be an
+    # arbitrarily expensive upstream pipeline (dedup_minhash_clusters
+    # feeds the whole shingle→minhash→band→verify LSH dedup here), and
+    # every loop round below joins against ``sym`` twice plus a
+    # convergence count — without this checkpoint each of the
+    # O(log diameter) rounds would re-execute the full upstream plan.
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct()
+    ).distinct().localCheckpoint()
     comp = (
         sym.select(F.col("a").alias("node"))
         .distinct()

@@ -12,9 +12,15 @@ Two paths:
     bucket occupancy, not N² — at 10^12 rows the signatures/buckets
     shard by hash like any other key.
 
-All dot products are pure column expressions (whole-stage codegen);
-planes are tiny literals baked into the plan (hash-derived, seeded —
-no RNG at execution time).
+All dot products are pure column expressions (whole-stage codegen).
+Hyperplanes / centroids travel as DATA, not plan literals: a one-row
+DataFrame holding the nested plane/centroid arrays is broadcast and
+cross-joined onto the vectors, so the compiled plan is O(1) in
+``bits·tables·dim`` / ``n_lists·dim`` — at production scale
+(dim 1024, n_lists 16k) a literal formulation would serialize
+megabytes of constants into every task; the broadcast form ships them
+once per executor. (Planes stay hash-derived and seeded — no RNG at
+execution time.)
 """
 
 from __future__ import annotations
@@ -89,13 +95,60 @@ def _planes(dim: int, bits: int, table: int, seed: int = 42) -> list[list[float]
 def lsh_signature(
     vec: Column, dim: int, bits: int = 12, table: int = 0
 ) -> Column:
-    """b-bit random-hyperplane signature as an int column."""
+    """b-bit random-hyperplane signature as an int column (literal
+    form — kept for small/ad-hoc use; the scale path is
+    ``_with_lsh_signatures``, which ships planes as broadcast data)."""
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(_planes(dim, bits, table)):
         p = F.array(*[F.lit(float(x)) for x in plane])
         bit = F.when(dot(vec, p) >= 0, F.lit(1)).otherwise(F.lit(0))
         sig = sig + (bit * F.lit(2**i)).cast("long")
     return sig
+
+
+def _planes_df(spark, dim: int, bits: int, tables: int, seed: int = 42):
+    """One-row DataFrame: planes[t] = array of {w: 2^bit, v: plane}.
+    Broadcast-cross-joined onto the vectors so plane size never
+    touches the compiled plan."""
+    nested = [
+        [
+            {"w": 1 << b, "v": plane}
+            for b, plane in enumerate(_planes(dim, bits, t, seed))
+        ]
+        for t in range(tables)
+    ]
+    return spark.createDataFrame(
+        [(nested,)],
+        "_planes array<array<struct<w:long,v:array<double>>>>",
+    )
+
+
+def _with_lsh_signatures(
+    df, vec_col: str, dim: int, bits: int, tables: int, prefix: str
+):
+    """Append ``{prefix}0..{prefix}{tables-1}`` signature columns.
+
+    The planes ride in via a broadcast one-row cross join; per table
+    the signature folds the plane array with a higher-order aggregate
+    (sum of 2^bit where dot(vec, plane) >= 0) — identical bits to
+    ``lsh_signature``, zero shuffle, O(1) plan size."""
+    spark = df.sparkSession
+    with_planes = df.crossJoin(
+        F.broadcast(_planes_df(spark, dim, bits, tables))
+    )
+
+    def sig(t: int) -> Column:
+        return F.aggregate(
+            F.element_at(F.col("_planes"), t + 1),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc
+            + F.when(
+                dot(F.col(vec_col), p.getField("v")) >= 0, p.getField("w")
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    return with_planes.select(
+        *df.columns, *[sig(t).alias(f"{prefix}{t}") for t in range(tables)]
+    )
 
 
 def ivf_ann_topk(
@@ -107,52 +160,65 @@ def ivf_ann_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: k-means coarse quantizer (pyspark.ml, seeded) →
     every vector assigned to its nearest centroid list; queries probe
     the ``n_probe`` nearest lists and re-rank candidates exactly.
     The list assignment shards by centroid id like any other key, so
-    candidate generation is a bucket join — the IVF scale path."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    candidate generation is a bucket join — the IVF scale path.
 
-    train = vectors.select(array_to_vector(F.col(vec_col)).alias("features"))
-    km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
-    centroids = [
-        (i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())
-    ]
+    ``centroids`` (list of dim-length vectors) skips the k-means fit —
+    the production shape, where the quantizer is trained once on a
+    sample and reused; also what keeps plan compilation O(1) testable
+    at n_lists≥256 without a fit."""
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = vectors.select(
+            array_to_vector(F.col(vec_col)).alias("features")
+        )
+        km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
+        centroids = [[float(x) for x in c] for c in km.clusterCenters()]
+
+    # centroids as broadcast DATA (one-row cross join), never plan
+    # literals — at n_lists·dim scale a literal array would bloat every
+    # serialized task; here the plan stays O(1)
+    spark = vectors.sparkSession
+    cents_df = spark.createDataFrame(
+        [([{"list_id": i, "c": c} for i, c in enumerate(centroids)],)],
+        "_cents array<struct<list_id:int,c:array<double>>>",
+    )
 
     def nearest_lists(vec: Column, n: int) -> Column:
-        """ids of the n closest centroids (exact distances — centroid
-        count is tiny, baked as literals into the plan)."""
-        dists = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            vec,
-                            F.array(*[F.lit(x) for x in c]),
-                            lambda a, b: (a.cast("double") - b)
-                            * (a.cast("double") - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ).alias("d"),
-                    F.lit(i).alias("list_id"),
-                )
-                for i, c in centroids
-            ]
+        """ids of the n closest centroids (exact L2, data-side)."""
+        dists = F.transform(
+            F.col("_cents"),
+            lambda s: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        s.getField("c"),
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                s.getField("list_id").alias("list_id"),
+            ),
         )
         return F.slice(F.array_sort(dists), 1, n)
 
-    v = vectors.select(
+    v = vectors.crossJoin(F.broadcast(cents_df)).select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("nv"),
         F.element_at(nearest_lists(F.col(vec_col), 1), 1)
         .getField("list_id")
         .alias("list_id"),
     )
-    q = queries.select(
+    q = queries.crossJoin(F.broadcast(cents_df)).select(
         "qid",
         "qv",
         F.explode(
@@ -183,21 +249,14 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: bucket-join candidates, exact re-rank."""
-    v = vectors.select(
-        F.col(id_col).alias("nid"),
-        F.col(vec_col).alias("nv"),
-        *[
-            lsh_signature(F.col(vec_col), dim, bits, t).alias(f"sig{t}")
-            for t in range(tables)
-        ],
+    v = _with_lsh_signatures(
+        vectors.select(
+            F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")
+        ),
+        "nv", dim, bits, tables, "sig",
     )
-    q = queries.select(
-        "qid",
-        "qv",
-        *[
-            lsh_signature(F.col("qv"), dim, bits, t).alias(f"qsig{t}")
-            for t in range(tables)
-        ],
+    q = _with_lsh_signatures(
+        queries.select("qid", "qv"), "qv", dim, bits, tables, "qsig"
     )
     v_buckets = v.select(
         "nid",

@@ -296,7 +296,12 @@ def compile_query(
     limit = query.get("limit")
     eff = min(limit, default_limit) if limit is not None else default_limit
     df = df.limit(eff)
-    # anonymous pattern parts are traversed but not returned (RETURN *)
+    # anonymous pattern parts are traversed but not returned (RETURN *).
+    # An ALL-anonymous pattern (MATCH ()-->()) deliberately yields a
+    # zero-column row per traversal match: the reference's own fixture
+    # (Neo4jUtilsTest.java:297, replayed verbatim in
+    # tests/test_dsl_fixtures.py) compiles it and uses the row count —
+    # raising here would break reference parity.
     named = [c for c in df.columns if c not in hidden]
     return df.select(*named) if len(named) < len(df.columns) else df
 

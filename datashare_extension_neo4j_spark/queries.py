@@ -390,6 +390,115 @@ ORDER BY path, id LIMIT 10
 """
 
 
+def joined_arrays(appears_in: DataFrame) -> DataFrame:
+    """'|'-join the array columns of an APPEARS_IN frame (parity rule:
+    arrays are emitted as joined sorted strings — the driver's
+    canonicalizer sorts with pandas, which cannot hash list cells)."""
+    return appears_in.select(
+        "mentionNorm",
+        "category",
+        "startId",
+        "endId",
+        "type",
+        F.array_join("mentionIds", NEO4J_ARRAY_SPLIT_CHAR).alias("mentionIds"),
+        F.array_join("mentionExtractors", NEO4J_ARRAY_SPLIT_CHAR).alias(
+            "mentionExtractors"
+        ),
+        F.array_join(
+            F.transform(F.col("offsets"), lambda x: x.cast("string")),
+            NEO4J_ARRAY_SPLIT_CHAR,
+        ).alias("offsets"),
+        "extractorLanguage",
+        "mentionCount",
+    )
+
+
+def kg_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship END-TO-END pipeline: pages (synthesized from
+    documents.parquet with pure column expressions) → mapInPandas
+    HTML parse/text extraction → rule NER (email regex + gazetteer,
+    true character offsets) → APPEARS_IN aggregation.
+
+    SQL-reconstructible because the page carrier is deterministic
+    (fixtures.pages_from_documents): extracted text per doc is exactly
+    ``"From: user{N}@example.com\\n" + text`` (``To:`` for odd ids), so
+    the oracle rebuilds character offsets with a running-length window
+    over the token stream. This is the one entry that exercises the
+    whole engine — parse, NER, aggregation — under a value hash."""
+    from .fixtures import pages_from_documents
+    from .pipeline import build_graph
+
+    g = build_graph(
+        pages_from_documents(spark, sf_dir), use_rule_ner=True, cache=False
+    )
+    return joined_arrays(g.appears_in)
+
+
+# Oracle: reconstruct the rule-NER mention stream in SQL.
+#   * extracted text = header line + "\n" + documents.text (the HTML
+#     carrier adds nothing else; <head> content is skipped, the <p>
+#     body is one stripped block)
+#   * char offset of token #pos = header_len + pos (spaces) + running
+#     sum of preceding token lengths  (tokens are single-space-split)
+#   * per doc the extractor folds all matches of one (norm, category)
+#     into ONE mention row (offsets accumulated), so every APPEARS_IN
+#     group has exactly one mentionId and mentionCount = 1
+#   * the email mention sits at offset 6 after "From: " / 4 after
+#     "To: ", with the header name suffixed into its mention id
+ORACLE_KG_FULL_PIPELINE = f"""
+WITH hdr AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 2 = 0 THEN 'From' ELSE 'To' END AS hname,
+         'user' || (doc_id % 50) || '@example.com' AS email,
+         CASE WHEN doc_id % 2 = 0 THEN 6 ELSE 4 END AS email_off
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+), offs AS (
+  SELECT t.doc_id, t.word,
+         h.email_off + length(h.email) + 1 + t.pos
+         + coalesce(sum(length(t.word)) OVER (
+             PARTITION BY t.doc_id ORDER BY t.pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS choff
+  FROM toks t JOIN hdr h USING (doc_id)
+), gaz AS (
+  SELECT o.doc_id, o.word AS mentionNorm, g.category, o.choff
+  FROM offs o
+  JOIN (VALUES {GAZ_VALUES_SQL}) g(word, category) ON o.word = g.word
+), edges AS (
+  SELECT g.mentionNorm, g.category,
+         'doc-' || g.doc_id AS endId,
+         'doc-' || g.doc_id || '-' || g.category || '-' || g.mentionNorm
+           AS mentionIds,
+         array_to_string(list_transform(list_sort(list(DISTINCT g.choff)),
+                                        x -> CAST(x AS VARCHAR)), '|') AS offsets,
+         min(h.lang) AS extractorLanguage
+  FROM gaz g JOIN hdr h USING (doc_id)
+  GROUP BY g.doc_id, g.mentionNorm, g.category
+  UNION ALL
+  SELECT email AS mentionNorm, 'EMAIL' AS category,
+         'doc-' || doc_id AS endId,
+         'doc-' || doc_id || '-EMAIL-' || email || '-' || hname AS mentionIds,
+         CAST(email_off AS VARCHAR) AS offsets,
+         lang AS extractorLanguage
+  FROM hdr
+)
+SELECT mentionNorm, category,
+       {_ENTITY_ID_SQL} AS startId,
+       endId,
+       'APPEARS_IN' AS type,
+       mentionIds,
+       'rule' AS mentionExtractors,
+       offsets,
+       extractorLanguage,
+       CAST(1 AS INTEGER) AS mentionCount
+FROM edges
+"""
+
+
 # ------------------------------------------------------- dedup family
 
 
@@ -490,6 +599,12 @@ _BAND_SIZE = 4  # 2 bands of 4
 def minhash_band_pairs(bands: DataFrame, max_bucket: int) -> DataFrame:
     """Distinct candidate doc pairs sharing a band bucket, with hot
     buckets (> max_bucket members) excluded before the self-join."""
+    # dedup (doc, band) first: a doc whose band0 == band1 would both
+    # double-count toward max_bucket (spurious exclusion near the cap)
+    # and quadruple its duplicate pairs into the final distinct; the
+    # dedup shuffles on the same band key the sizing agg and self-join
+    # use, so it adds no new shuffle profile
+    bands = bands.select("doc_id", "band").distinct()
     sizes = bands.groupBy("band").agg(F.count("*").alias("_bsz"))
     capped = bands.join(
         sizes.where(F.col("_bsz") <= max_bucket), "band"
@@ -1750,6 +1865,7 @@ QUERIES = {
     "kg_semi_join": (kg_semi_join, ORACLE_KG_SEMI_JOIN),
     "kg_stats": (kg_stats, ORACLE_KG_STATS),
     "kg_dump_default": (kg_dump_default, ORACLE_KG_DUMP_DEFAULT),
+    "kg_full_pipeline": (kg_full_pipeline, ORACLE_KG_FULL_PIPELINE),
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_exact_assign": (dedup_exact_assign, ORACLE_DEDUP_EXACT_ASSIGN),
     "dedup_wordset": (dedup_wordset, ORACLE_DEDUP_WORDSET),

@@ -95,21 +95,21 @@ def merge_bucketed(
         .drop(BUCKET_COL)
     )
     merged = bucketize(combine(old, up.drop(BUCKET_COL)), key_cols, n_buckets)
-    # materialize touched buckets to a tmp dir first: the merged plan
-    # lazily READS the very files a direct overwrite would delete
-    import shutil
-
-    tmp = f"{path}__merge_tmp"
-    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # stage via localCheckpoint: the merged plan lazily READS the very
+    # files a direct overwrite would delete, so it must be materialized
+    # first — an executor-storage checkpoint does that with ONE
+    # physical parquet write of the touched partitions (the previous
+    # tmp-dir approach wrote them twice). The overwrite mode rides on
+    # the writer, not the session conf, so concurrent writers (streaming
+    # micro-batches, materialize_graph's thread pool) never observe
+    # dynamic-overwrite semantics unintentionally.
+    staged = merged.localCheckpoint()
     try:
-        spark.read.parquet(tmp).write.mode("overwrite").partitionBy(
-            BUCKET_COL
-        ).parquet(path)
+        staged.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy(BUCKET_COL).parquet(path)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        shutil.rmtree(tmp, ignore_errors=True)
+        staged.unpersist()
     return touched
 
 
@@ -223,12 +223,30 @@ COMBINE = {
 }
 
 
+# tables whose combine does NOT structurally canonicalize the key:
+# combine_docs is newest-wins against OLD rows only, so an increment
+# carrying one id twice (two different docs claiming the same id)
+# would land both and corrupt the table. The aggregating combines
+# (appears_in/emails groupBy, dropDuplicates) are structurally unique
+# post-merge, so only the updates-side of docs needs the gate.
+_ENFORCE_UNIQUE_UPDATES = {"docs"}
+
+
 def merge_table(
     spark: SparkSession, path: str, updates: DataFrame, name: str
 ) -> None:
     """MERGE ``updates`` into the stored table, auto-detecting layout:
     bucketed → partition-scoped rewrite of touched buckets only;
-    plain → full read-combine-overwrite."""
+    plain → full read-combine-overwrite.
+
+    Enforces the table's uniqueness constraint (migrations.CONSTRAINTS,
+    the reference's constraint_document_unique_id analog) on the
+    increment BEFORE merging — a batch that would corrupt the key
+    raises ConstraintViolation instead of silently landing."""
+    if name in _ENFORCE_UNIQUE_UPDATES:
+        from ..migrations import CONSTRAINTS, assert_unique
+
+        assert_unique(updates, CONSTRAINTS[name]["unique"], name)
     sidecar = Path(path) / "_n_buckets"
     if sidecar.exists():
         n = int(sidecar.read_text())
@@ -274,13 +292,30 @@ def incremental_import(
     """Incremental run against an existing run_dir (the reference's
     POST /full-imports re-run semantics, SURVEY.md §3.1): documents
     upserted by id, HAS_PARENT edges set-merged, APPEARS_IN edges
-    array-union-merged, entities deduped. Returns counters."""
+    array-union-merged, entities deduped. Returns counters.
+
+    The Python parse runs ONCE per increment: the parse output is
+    stage-checkpointed to parquet (``checkpoint_dir``), so the 6-8
+    downstream actions (per-table counters + merges) all do pruned
+    columnar scans of the checkpoint instead of re-executing the
+    mapInPandas parse — the reference gets its counters free from the
+    Cypher ``ResultSummary``; this is the Spark equivalent."""
+    import shutil
+
     from ..pipeline import build_graph
 
+    ckpt = f"{run_dir}/_increment_ckpt"
     g = build_graph(
         pages, project=project, use_rule_ner=True, fuse_ner=True,
-        include_text=False, cache=False,
+        include_text=False, cache=False, checkpoint_dir=ckpt,
     )
+    try:
+        return _incremental_merge(spark, g, run_dir)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _incremental_merge(spark: SparkSession, g, run_dir: str) -> dict:
     docs_path = f"{run_dir}/docs"
     new_docs = g.docs.drop("ann_mentions", "ann_edges")
     old_docs = _read_table(spark, docs_path)

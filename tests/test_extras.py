@@ -122,6 +122,40 @@ def test_streaming_ingest(spark, tmp_path):
     assert len(counts2) > len(counts1)
 
 
+def test_ann_plan_size_bounded_at_production_dims(spark):
+    """Planes/centroids are broadcast DATA, not plan literals: at
+    dim=512 with 16 bits × 8 tables (LSH) and n_lists=256 (IVF) the
+    query must still COMPILE in bounded time with a bounded plan —
+    a literal formulation would serialize n_lists·dim ≈ 131k constants
+    into every task and blow both."""
+    import time
+
+    from datashare_extension_neo4j_spark.operators.similarity import (
+        ivf_ann_topk,
+        lsh_ann_topk,
+    )
+
+    dim = 512
+    v = spark.range(4).selectExpr(
+        "id as vec_id",
+        f"transform(sequence(1, {dim}), i -> cast(id + i as float)) as embedding",
+    )
+    q = v.limit(1).selectExpr("vec_id as qid", "embedding as qv")
+
+    t0 = time.monotonic()
+    lsh = lsh_ann_topk(v, q, dim=dim, k=2, bits=16, tables=8)
+    cents = [[float(j % 7) for j in range(dim)] for _ in range(256)]
+    ivf = ivf_ann_topk(v, q, k=2, n_lists=256, n_probe=4, centroids=cents)
+    plans = [
+        df._jdf.queryExecution().executedPlan().toString() for df in (lsh, ivf)
+    ]
+    elapsed = time.monotonic() - t0
+    assert elapsed < 60, f"plan compilation took {elapsed:.0f}s"
+    for p in plans:
+        assert len(p) < 2_000_000
+        assert "Broadcast" in p
+
+
 def test_ivf_ann_recall(spark):
     from datashare_extension_neo4j_spark.operators.similarity import ivf_ann_topk
 
@@ -312,6 +346,37 @@ def test_connected_components_long_chain(spark):
     }
     assert len(got) == 201
     assert set(got.values()) == {0}
+
+
+def test_connected_components_computes_edges_once(spark):
+    """The upstream edge pipeline must execute exactly ONCE: sym is
+    checkpointed before the loop, so the O(log d) rounds (two joins +
+    a count each) never re-run it. An accumulator inside a mapInPandas
+    tap counts how many times each input row flows through — without
+    the checkpoint a 4-round run re-executes the tap ~9×."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from datashare_extension_neo4j_spark.operators.graph_algos import (
+        connected_components,
+    )
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def tap(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    base = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "src long, dst long"
+    )
+    edges = base.mapInPandas(tap, "src long, dst long")
+    got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert set(got.values()) == {0} and len(got) == 51
+    # each of the 50 edge rows crossed the tap exactly once per side of
+    # the unionByName symmetrization = 100 total, regardless of rounds
+    assert acc.value == 100
 
 
 def test_cosine_zero_vector_is_null_not_nan(spark):

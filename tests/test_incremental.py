@@ -263,3 +263,28 @@ def test_rebuild_with_different_buckets_invalidates_stages(spark, tmp_path):
     run_pipeline(spark, pages_path, run_dir, buckets=4)
     assert (Path(run_dir) / "docs" / "_n_buckets").read_text() == "4"
     assert spark.read.parquet(f"{run_dir}/docs").count() == 6
+
+
+def test_incremental_import_parses_once(spark, tmp_path):
+    """The mapInPandas parse must execute exactly once per increment:
+    the parse output is stage-checkpointed to parquet, so the 6-8
+    counter/merge actions re-read the checkpoint, never the parse. An
+    accumulator tap on the pages input counts how many times each page
+    row flows into the parse — without the checkpoint it was ~6-8x."""
+    pages = reference_pages(spark, n_docs=10)
+    pages_path = str(tmp_path / "pages")
+    pages.write.parquet(pages_path)
+    run_dir = str(tmp_path / "run")
+    run_pipeline(spark, pages_path, run_dir)
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def tap(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    tapped = pages.mapInPandas(tap, pages.schema)
+    c = incremental_import(spark, tapped, run_dir)
+    assert c["imported"] == 10
+    assert acc.value == 10
