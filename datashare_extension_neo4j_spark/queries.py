@@ -428,8 +428,17 @@ def kg_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .fixtures import pages_from_documents
     from .pipeline import build_graph
 
+    # the fused scale path: NER inside the parse pass, per-doc edge
+    # pre-aggregation → ONE mapInPandas node and zero edge shuffle
+    # (output proven equal to the unfused path in
+    # tests/test_fused_equivalence.py; hash-verified by the oracle)
     g = build_graph(
-        pages_from_documents(spark, sf_dir), use_rule_ner=True, cache=False
+        pages_from_documents(spark, sf_dir),
+        use_rule_ner=True,
+        fuse_ner=True,
+        include_text=False,
+        emit_mentions=False,
+        cache=False,
     )
     return joined_arrays(g.appears_in)
 
@@ -831,6 +840,159 @@ WITH RECURSIVE pairs AS (
 SELECT CAST(a AS BIGINT) AS doc_id,
        CAST(least(a, min(b)) AS BIGINT) AS cluster
 FROM reach GROUP BY a
+"""
+
+
+def dedup_minhash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup consumable, completing the MinHash path the way
+    ``dedup_exact_assign`` completes the exact path: EVERY document
+    mapped to its keeper (cluster label = min doc id in its connected
+    component; singletons keep themselves) with a keep flag — the row
+    shape a training pipeline joins against to filter the corpus.
+    One broadcast-size left join over the (tiny) cluster table."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    clusters = dedup_minhash_clusters(spark, sf_dir)
+    keep = F.coalesce(F.col("cluster"), F.col("doc_id")).cast("long")
+    return d.join(F.broadcast(clusters), "doc_id", "left").select(
+        "doc_id",
+        keep.alias("keepDocId"),
+        (keep == F.col("doc_id")).alias("isKept"),
+    )
+
+
+ORACLE_DEDUP_MINHASH_ASSIGN = f"""
+SELECT d.doc_id,
+       CAST(coalesce(cl.cluster, d.doc_id) AS BIGINT) AS keepDocId,
+       coalesce(cl.cluster, d.doc_id) = d.doc_id AS isKept
+FROM documents d
+LEFT JOIN ({ORACLE_DEDUP_MINHASH_CLUSTERS}) cl USING (doc_id)
+"""
+
+
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the pretraining-pipeline operator
+    that flags training documents sharing n-gram shingles with an
+    evaluation set (the standard 13-gram check at web scale; word
+    bigrams here to match the corpus's tiny vocabulary). The eval set
+    is the deterministic ``doc_id % 20 == 0`` slice.
+
+    Scale shape: eval sets are small (thousands of docs), so the
+    benchmark shingle set BROADCASTS and contamination detection is a
+    map-side join over the corpus shingle stream — no corpus-sized
+    shuffle; only the per-doc hit count aggregates. The flag fires on
+    the contaminated FRACTION of a doc's shingles (≥ 0.9), the form
+    that stays meaningful on boilerplate-heavy web corpora where
+    near-universal shingles would make an any-overlap flag vacuous."""
+    sh = _shingles(spark, sf_dir)
+    bench = (
+        sh.where(F.col("doc_id") % 20 == 0).select("shingle").distinct()
+    )
+    corpus = sh.where(F.col("doc_id") % 20 != 0)
+    per_doc = corpus.groupBy("doc_id").agg(
+        F.countDistinct("shingle").cast("long").alias("nShingles")
+    )
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").cast("long").alias("nContamShingles"))
+    )
+    d = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") % 20 != 0)
+    n = F.coalesce(F.col("nContamShingles"), F.lit(0).cast("long"))
+    frac = F.round(
+        F.when(F.col("nShingles") > 0, n / F.col("nShingles")).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    return (
+        d.join(per_doc, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n.alias("nContamShingles"),
+            F.coalesce(F.col("nShingles"), F.lit(0).cast("long")).alias(
+                "nShingles"
+            ),
+            frac.alias("contamFraction"),
+            (frac >= 0.9).alias("isContaminated"),
+        )
+    )
+
+
+ORACLE_DECONTAMINATE_NGRAM = f"""
+WITH sh AS ({_SHINGLES_SQL}
+), bench AS (
+  SELECT DISTINCT word FROM sh WHERE doc_id % 20 = 0
+), per_doc AS (
+  SELECT doc_id, CAST(count(DISTINCT word) AS BIGINT) AS nsh
+  FROM sh WHERE doc_id % 20 != 0 GROUP BY doc_id
+), hits AS (
+  SELECT s.doc_id, CAST(count(DISTINCT s.word) AS BIGINT) AS n
+  FROM sh s JOIN bench b ON s.word = b.word
+  WHERE s.doc_id % 20 != 0
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS nContamShingles,
+       CAST(coalesce(p.nsh, 0) AS BIGINT) AS nShingles,
+       round(CASE WHEN coalesce(p.nsh, 0) > 0
+                  THEN coalesce(h.n, 0) * 1.0 / p.nsh ELSE 0.0 END,
+             6) AS contamFraction,
+       round(CASE WHEN coalesce(p.nsh, 0) > 0
+                  THEN coalesce(h.n, 0) * 1.0 / p.nsh ELSE 0.0 END,
+             6) >= 0.9 AS isContaminated
+FROM documents d
+LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 20 != 0
+"""
+
+
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics for tokenizer training: top-20
+    words by frequency with rank and cumulative coverage fraction —
+    the 'how big must the vocab be to cover X% of tokens' curve.
+
+    Scale shape: the corpus-wide token count groupBy is the one
+    semantic shuffle; the ranking window then runs over the VOCAB
+    (≪ corpus — low millions of rows even at 100 TB), so the
+    single-partition window is bounded by vocabulary size, not data
+    size. Deterministic tie-break (count desc, word asc)."""
+    from pyspark.sql import Window as W
+
+    w = _words(_docs(spark, sf_dir))
+    counts = w.groupBy("word").agg(F.count("*").cast("long").alias("n"))
+    order = [F.desc("n"), F.asc("word")]
+    win = W.orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    total = F.sum("n").over(
+        W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        counts.select(
+            "word",
+            F.col("n").alias("wordCount"),
+            F.row_number().over(W.orderBy(*order)).cast("long").alias("rank"),
+            F.round(F.sum("n").over(win) / total, 6).alias("cumCoverage"),
+        )
+        .where(F.col("rank") <= 20)
+    )
+
+
+ORACLE_VOCAB_STATS = """
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), c AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY word
+), r AS (
+  SELECT word, n,
+         CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS rank,
+         sum(n) OVER (ORDER BY n DESC, word ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n) OVER () AS total
+  FROM c
+)
+SELECT word, n AS wordCount, rank,
+       round(cum * 1.0 / total, 6) AS cumCoverage
+FROM r WHERE rank <= 20
 """
 
 
@@ -1871,6 +2033,9 @@ QUERIES = {
     "dedup_wordset": (dedup_wordset, ORACLE_DEDUP_WORDSET),
     "dedup_minhash_sig": (dedup_minhash_sig, ORACLE_DEDUP_MINHASH_SIG),
     "dedup_minhash_pairs": (dedup_minhash_pairs, ORACLE_DEDUP_MINHASH_PAIRS),
+    "dedup_minhash_assign": (dedup_minhash_assign, ORACLE_DEDUP_MINHASH_ASSIGN),
+    "decontaminate_ngram": (decontaminate_ngram, ORACLE_DECONTAMINATE_NGRAM),
+    "vocab_stats": (vocab_stats, ORACLE_VOCAB_STATS),
     "dedup_minhash_clusters": (
         dedup_minhash_clusters,
         ORACLE_DEDUP_MINHASH_CLUSTERS,

@@ -53,6 +53,33 @@ def _read_table(spark: SparkSession, path: str) -> DataFrame:
     return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
 
+def _read_for_keys(
+    spark: SparkSession, path: str, keys: DataFrame, name: str
+) -> DataFrame:
+    """Stored rows that could share a merge key with ``keys``: on the
+    bucketed layout only the touched partitions are scanned (every row
+    whose key appears in ``keys`` hashes into a touched bucket, so
+    joins/anti-joins against this frame equal those against the full
+    table) — keeps incremental COUNTERS O(increment), not O(table).
+    Plain layout falls back to the full read."""
+    sidecar = Path(path) / "_n_buckets"
+    if not sidecar.exists():
+        return _read_table(spark, path)
+    n = int(sidecar.read_text())
+    touched = [
+        r[0]
+        for r in bucketize(keys, TABLE_KEYS[name], n)
+        .select(BUCKET_COL)
+        .distinct()
+        .collect()
+    ]
+    return (
+        spark.read.parquet(path)
+        .where(F.col(BUCKET_COL).isin(touched or [-1]))
+        .drop(BUCKET_COL)
+    )
+
+
 def write_bucketed_table(
     df: DataFrame, path: str, name: str, buckets: int
 ) -> None:
@@ -315,42 +342,51 @@ def incremental_import(
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _created_count(
+    spark: SparkSession, path: str, updates: DataFrame, name: str
+) -> int:
+    """Update keys not yet stored = rows/edges the merge will CREATE
+    (ON MATCH paths update in place, so only new keys add rows).
+    Anti-join against the partition-pruned slice — O(increment) on the
+    bucketed layout, never a full-table scan."""
+    keys = TABLE_KEYS[name]
+    old = _read_for_keys(spark, path, updates, name).select(*keys)
+    return updates.select(*keys).join(old, keys, "left_anti").count()
+
+
 def _incremental_merge(spark: SparkSession, g, run_dir: str) -> dict:
     docs_path = f"{run_dir}/docs"
     new_docs = g.docs.drop("ann_mentions", "ann_edges")
-    old_docs = _read_table(spark, docs_path)
     doc_counters = {
         "imported": new_docs.count(),
-        "nodes_created": new_docs.join(old_docs, "id", "left_anti").count(),
+        "nodes_created": _created_count(spark, docs_path, new_docs, "docs"),
     }
     merge_table(spark, docs_path, new_docs, "docs")
 
     roots_path = f"{run_dir}/doc_roots"
-    roots_created = g.doc_roots.join(
-        _read_table(spark, roots_path), ["src", "dst"], "left_anti"
-    ).count()
+    roots_created = _created_count(
+        spark, roots_path, g.doc_roots, "doc_roots"
+    )
     merge_table(spark, roots_path, g.doc_roots, "doc_roots")
 
     appears_path = f"{run_dir}/appears_in"
-    pre = spark.read.parquet(appears_path).count()
+    appears_created = _created_count(
+        spark, appears_path, g.appears_in, "appears_in"
+    )
     merge_table(spark, appears_path, g.appears_in, "appears_in")
-    post = spark.read.parquet(appears_path).count()
 
     emails_path = f"{run_dir}/emails"
-    emails_pre = spark.read.parquet(emails_path).count()
+    emails_created = _created_count(spark, emails_path, g.emails, "emails")
     merge_table(spark, emails_path, g.emails, "emails")
-    emails_post = spark.read.parquet(emails_path).count()
 
     ents_path = f"{run_dir}/entities"
-    ents_created = g.entities.join(
-        _read_table(spark, ents_path), ["mentionNorm", "category"], "left_anti"
-    ).count()
+    ents_created = _created_count(spark, ents_path, g.entities, "entities")
     merge_table(spark, ents_path, g.entities, "entities")
     return {
         **doc_counters,
         "relationships_created": roots_created
-        + (post - pre)
-        + (emails_post - emails_pre),
+        + appears_created
+        + emails_created,
         "entities_created": ents_created,
     }
 
@@ -380,26 +416,26 @@ def incremental_import_mentions(
     imported = m.count()
 
     appears_path = f"{run_dir}/appears_in"
-    pre = spark.read.parquet(appears_path).count()
-    merge_table(spark, appears_path, appears_in_edges(m), "appears_in")
-    post = spark.read.parquet(appears_path).count()
+    new_appears = appears_in_edges(m)
+    appears_created = _created_count(
+        spark, appears_path, new_appears, "appears_in"
+    )
+    merge_table(spark, appears_path, new_appears, "appears_in")
 
     emails_path = f"{run_dir}/emails"
-    emails_pre = spark.read.parquet(emails_path).count()
-    merge_table(spark, emails_path, email_edges(m), "emails")
-    emails_post = spark.read.parquet(emails_path).count()
+    new_emails = email_edges(m)
+    emails_created = _created_count(spark, emails_path, new_emails, "emails")
+    merge_table(spark, emails_path, new_emails, "emails")
 
     ents_path = f"{run_dir}/entities"
     new_ents = entity_nodes(m)
-    ents_created = new_ents.join(
-        _read_table(spark, ents_path), ["mentionNorm", "category"], "left_anti"
-    ).count()
+    ents_created = _created_count(spark, ents_path, new_ents, "entities")
     merge_table(spark, ents_path, new_ents, "entities")
     return {
         "imported": imported,
         "skipped_orphans": total - imported,
         "nodes_created": 0,
-        "relationships_created": (post - pre) + (emails_post - emails_pre),
+        "relationships_created": appears_created + emails_created,
         "entities_created": ents_created,
     }
 

@@ -23,7 +23,15 @@ def _canon(df):
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-@pytest.mark.parametrize("name", ["kg_full_pipeline", "kg_appears_in"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "kg_full_pipeline",
+        "kg_appears_in",
+        "dedup_minhash_assign",
+        "decontaminate_ngram",
+    ],
+)
 def test_oracle_parity(spark, name):
     from datashare_extension_neo4j_spark.queries import QUERIES
 
