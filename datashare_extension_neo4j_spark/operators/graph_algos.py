@@ -90,3 +90,59 @@ def connected_components(
         "round-doubling variant (large-star/small-star) for "
         "long-chain graphs"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+    digits: int = 8,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the UNDIRECTED graph of ``edges``
+    (each edge contributes both directions), uniform 1.0 start,
+    r' = (1-d) + d·Σ r/deg over in-neighbors — the classic
+    unnormalized formulation (Page et al.; GraphX's default shape).
+
+    Deterministic across engines: every iteration's ranks are ROUNDED
+    to ``digits`` decimals, so an exact SQL oracle can unroll the same
+    ``iterations`` steps and hash-match — float summation-order noise
+    (~1e-13) cannot cross a 0.5e-8 rounding boundary in practice.
+
+    Scale shape: per iteration one key-partitioned join (ranks ⋈
+    edges on src) + one groupBy(dst) — the same cost profile as the
+    CC rounds; edges are checkpointed ONCE, ranks localCheckpointed
+    per round so plans don't grow.
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct().localCheckpoint()
+    deg = sym.groupBy("a").agg(F.count("*").cast("long").alias("deg"))
+    nodes = deg.select(F.col("a").alias("node"), "deg")
+    ranks = nodes.select(
+        "node", "deg", F.lit(1.0).alias("rank")
+    ).localCheckpoint()
+    for _ in range(iterations):
+        contrib = (
+            ranks.select(F.col("node").alias("a"), (F.col("rank") / F.col("deg")).alias("c"))
+            .join(sym, "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                "deg",
+                F.round(
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)),
+                    digits,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", "rank")

@@ -948,6 +948,74 @@ WHERE d.doc_id % 20 != 0
 """
 
 
+_PR_ITER = 5
+_PR_DAMP = 0.85
+_PR_DIGITS = 6
+
+
+def kg_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the entity–document bipartite
+    graph (entity node = mentionNorm/category, edges = APPEARS_IN
+    pairs) — the KG-analytics step that ranks hub entities/documents
+    after construction. Iterative DataFrame joins with per-round
+    localCheckpoint (operators/graph_algos.pagerank); each iteration's
+    ranks are rounded to 6 decimals so the SQL oracle (the same 5
+    steps unrolled as chained CTEs) hash-matches exactly despite
+    engine-dependent float summation order (noise ~1e-12 « the 5e-7
+    rounding boundary)."""
+    from .operators.graph_algos import pagerank
+
+    m = _mentions(spark, sf_dir)
+    edges = m.select(
+        F.concat(
+            F.col("mentionNorm"), F.lit("/"), F.col("category")
+        ).alias("src"),
+        F.col("documentId").alias("dst"),
+    ).distinct()
+    pr = pagerank(
+        edges, iterations=_PR_ITER, damping=_PR_DAMP, digits=_PR_DIGITS
+    )
+    return pr.select("node", F.col("rank").alias("pagerank"))
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unroll the fixed iterations as chained CTEs — bit-compatible
+    with the Spark loop because both round every iteration."""
+    steps = []
+    for i in range(1, _PR_ITER + 1):
+        steps.append(f"""r{i} AS (
+  SELECT n.node, n.deg,
+         round({1 - _PR_DAMP} + {_PR_DAMP} * coalesce(f.inflow, 0),
+               {_PR_DIGITS}) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT s.b AS node, sum(r.rank / r.deg) AS inflow
+    FROM r{i - 1} r JOIN sym s ON r.node = s.a GROUP BY s.b
+  ) f USING (node)
+)""")
+    return (
+        _MENTIONS_CTE
+        + f""", e AS (
+  SELECT DISTINCT mentionNorm || '/' || category AS src,
+         documentId AS dst
+  FROM m
+), sym AS (
+  SELECT src AS a, dst AS b FROM e
+  UNION
+  SELECT dst AS a, src AS b FROM e
+), nodes AS (
+  SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+  FROM sym GROUP BY a
+), r0 AS (
+  SELECT node, deg, CAST(1.0 AS DOUBLE) AS rank FROM nodes
+), """
+        + ",\n".join(steps)
+        + f"\nSELECT node, rank AS pagerank FROM r{_PR_ITER}"
+    )
+
+
+ORACLE_KG_ENTITY_PAGERANK = _pagerank_oracle_sql()
+
+
 def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary statistics for tokenizer training: top-20
     words by frequency with rank and cumulative coverage fraction —
@@ -2036,6 +2104,7 @@ QUERIES = {
     "dedup_minhash_assign": (dedup_minhash_assign, ORACLE_DEDUP_MINHASH_ASSIGN),
     "decontaminate_ngram": (decontaminate_ngram, ORACLE_DECONTAMINATE_NGRAM),
     "vocab_stats": (vocab_stats, ORACLE_VOCAB_STATS),
+    "kg_entity_pagerank": (kg_entity_pagerank, ORACLE_KG_ENTITY_PAGERANK),
     "dedup_minhash_clusters": (
         dedup_minhash_clusters,
         ORACLE_DEDUP_MINHASH_CLUSTERS,

@@ -127,3 +127,24 @@ def windowed_event_counts(
             "totalValue",
         )
     )
+
+
+def dedup_within_watermark_stream(
+    stream: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "event_ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Built-in bounded-state streaming dedup:
+    ``dropDuplicatesWithinWatermark`` keeps one row per key among rows
+    whose event times fall within the watermark delay of each other,
+    then EVICTS the key's state once the watermark passes — unlike
+    ``first_seen_stream`` (state = O(all keys ever), exactly-once
+    forever), state here is O(keys within the watermark window), the
+    right trade for endless feeds where duplicates cluster in time
+    (re-crawls, retry storms). Prefer this built-in whenever the dedup
+    horizon is bounded; the custom operator only for unbounded
+    first-seen semantics."""
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        [key_col]
+    )

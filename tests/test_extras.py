@@ -241,6 +241,48 @@ def test_stateful_first_seen_dedup(spark, tmp_path):
     }
 
 
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    """Built-in bounded-state dedup: duplicates inside the watermark
+    horizon are dropped; each key emits exactly once per burst."""
+    import pandas as pd
+
+    from datashare_extension_neo4j_spark.streaming.stateful import (
+        dedup_within_watermark_stream,
+    )
+
+    inp = tmp_path / "in"
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    inp.mkdir()
+    rows = [
+        ("h1", "d1", "2026-01-01 10:00:00"),
+        ("h1", "d2", "2026-01-01 10:01:00"),  # dup within 10 min
+        ("h2", "d3", "2026-01-01 10:02:00"),
+    ]
+    pd.DataFrame(rows, columns=["key", "doc_id", "event_ts"]).assign(
+        event_ts=lambda d: pd.to_datetime(d.event_ts)
+    ).to_parquet(
+        inp / "w1.parquet",
+        coerce_timestamps="us",  # pandas default ns ≠ Spark timestamp
+        allow_truncated_timestamps=True,
+    )
+
+    stream = spark.readStream.schema(
+        "key string, doc_id string, event_ts timestamp"
+    ).parquet(str(inp))
+    q = (
+        dedup_within_watermark_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["key"] for r in spark.read.parquet(out).collect())
+    assert got == ["h1", "h2"]
+
+
 def test_windowed_event_counts_drops_late_rows(spark, tmp_path):
     """Watermark semantics end-to-end: a row older than the watermark
     horizon (behind max-seen event time) is dropped; windows emit once
@@ -346,6 +388,33 @@ def test_connected_components_long_chain(spark):
     }
     assert len(got) == 201
     assert set(got.values()) == {0}
+
+
+def test_pagerank_star_graph(spark):
+    """4-leaf star: the hub's rank must exceed every leaf's, leaves
+    are symmetric, and values match the closed-form fixed point
+    (hub = 0.15 + 0.85·4·(leaf/1); leaf = 0.15 + 0.85·hub/4 —
+    iterated 5 rounds from 1.0 with per-round 6dp rounding)."""
+    from datashare_extension_neo4j_spark.operators.graph_algos import pagerank
+
+    edges = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(4)], "src string, dst string"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    assert got["hub"] > got["leaf0"]
+    assert len({got[f"leaf{i}"] for i in range(4)}) == 1
+    # mirror the loop (deg: hub=4, leaf=1). Python's round() is
+    # half-even over binary doubles while Spark/DuckDB round decimal
+    # half-up, so intermediate roundings can differ by 1e-6/step —
+    # assert closeness; exact cross-engine parity is what the DuckDB
+    # oracle (same decimal rounding discipline) hash-checks.
+    hub, leaf = 1.0, 1.0
+    for _ in range(5):
+        hub, leaf = (
+            round(0.15 + 0.85 * 4 * leaf, 6),
+            round(0.15 + 0.85 * (hub / 4), 6),
+        )
+    assert abs(got["hub"] - hub) < 1e-5 and abs(got["leaf1"] - leaf) < 1e-5
 
 
 def test_connected_components_computes_edges_once(spark):

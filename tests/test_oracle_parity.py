@@ -30,6 +30,7 @@ def _canon(df):
         "kg_appears_in",
         "dedup_minhash_assign",
         "decontaminate_ngram",
+        "kg_entity_pagerank",
     ],
 )
 def test_oracle_parity(spark, name):
