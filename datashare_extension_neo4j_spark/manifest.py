@@ -140,6 +140,10 @@ def run_pipeline(
     from .operators.ner import DEFAULT_GAZETTEER, annotated_mentions
     from .sinks.tables import TABLE_KEYS, write_bucketed_table
 
+    # captured BEFORE Manifest creates the dir: a pre-existing manifest
+    # means prior-run tables may be present (migration ladder must run
+    # for real against them — see apply_migrations call below)
+    fresh_run_dir = not (Path(run_dir) / "manifest.json").exists()
     m = Manifest(run_dir)
     out = lambda name: str(Path(run_dir) / name)  # noqa: E731
 
@@ -207,10 +211,13 @@ def run_pipeline(
         config={"buckets": buckets},
     )
     # constraint/index manifest + migration ladder (reference runs its
-    # migrations at startup; fresh tables are already at head)
+    # migrations at startup). assume_current is ONLY valid for a run
+    # dir this call created from scratch — an EXISTING dir may hold
+    # tables built by older code whose pending data migrations must
+    # actually execute, not be silently recorded as done.
     from .migrations import apply_migrations
 
-    apply_migrations(spark, run_dir, assume_current=True)
+    apply_migrations(spark, run_dir, assume_current=fresh_run_dir)
     return {
         name: out(name)
         for name in (

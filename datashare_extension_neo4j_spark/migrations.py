@@ -91,30 +91,37 @@ def assert_unique(df: DataFrame, keys: list[str], table: str) -> None:
 def migration_mention_count_backfill(spark: SparkSession, run_dir: str) -> None:
     """migration_v_0_6_0: SET rel.mentionCount = size(rel.mentionIds)
     over every APPEARS_IN edge (reference migrations.py:50-57) — a
-    single column rewrite instead of 10k-row Cypher transactions."""
-    from .sinks.tables import overwrite_parquet
+    single column rewrite instead of 10k-row Cypher transactions.
+    Layout-preserving: a bucketed store stays bucketed."""
+    from .sinks.tables import rewrite_table
 
     path = f"{run_dir}/appears_in"
     if not Path(path).exists():
         return
-    df = spark.read.parquet(path)
-    if "mentionIds" not in df.columns:
+    if "mentionIds" not in spark.read.parquet(path).columns:
         return
-    overwrite_parquet(
-        spark, df.withColumn("mentionCount", F.size("mentionIds")), path
+    rewrite_table(
+        spark,
+        path,
+        "appears_in",
+        lambda df: df.withColumn("mentionCount", F.size("mentionIds")),
     )
 
 
 def migration_delete_self_parent(spark: SparkSession, run_dir: str) -> None:
     """migration_v_0_9_0: delete (doc)-[:HAS_PARENT]->(doc) self-loops
-    (reference migrations.py:168-172)."""
-    from .sinks.tables import overwrite_parquet
+    (reference migrations.py:168-172). Layout-preserving."""
+    from .sinks.tables import rewrite_table
 
     path = f"{run_dir}/doc_roots"
     if not Path(path).exists():
         return
-    df = spark.read.parquet(path)
-    overwrite_parquet(spark, df.where(F.col("src") != F.col("dst")), path)
+    rewrite_table(
+        spark,
+        path,
+        "doc_roots",
+        lambda df: df.where(F.col("src") != F.col("dst")),
+    )
 
 
 # ordered ladder; names mirror the reference's migration versions
@@ -161,11 +168,18 @@ def apply_migrations(
 
 def verify_constraints(spark: SparkSession, run_dir: str) -> None:
     """Audit every stored table against its uniqueness key; raises
-    ConstraintViolation on the first corrupt table."""
+    ConstraintViolation on the first corrupt table. A stored table
+    MISSING one of its key columns is itself a violation (a
+    schema-corrupted table must not pass the audit silently)."""
     for table, spec in CONSTRAINTS.items():
         path = f"{run_dir}/{table}"
         if not Path(path).exists():
             continue
         df = spark.read.parquet(path)
-        if all(k in df.columns for k in spec["unique"]):
-            assert_unique(df, spec["unique"], table)
+        missing = [k for k in spec["unique"] if k not in df.columns]
+        if missing:
+            raise ConstraintViolation(
+                f"table {table} is missing unique-key column(s) "
+                f"{missing} (schema corruption)"
+            )
+        assert_unique(df, spec["unique"], table)

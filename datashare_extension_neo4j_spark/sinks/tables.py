@@ -125,9 +125,17 @@ def merge_bucketed(
     # stage via localCheckpoint: the merged plan lazily READS the very
     # files a direct overwrite would delete, so it must be materialized
     # first — an executor-storage checkpoint does that with ONE
-    # physical parquet write of the touched partitions (the previous
-    # tmp-dir approach wrote them twice). The overwrite mode rides on
-    # the writer, not the session conf, so concurrent writers (streaming
+    # physical parquet write of the touched partitions (a tmp-dir
+    # parquet stage writes them twice). Trade-off, deliberate: the
+    # checkpoint blocks live on executors with truncated lineage, so
+    # losing an executor mid-merge fails the JOB (not just a task).
+    # That is safe because every COMBINE is idempotent (set-union /
+    # key-dedup / newest-wins), so an external job retry over a
+    # partially-overwritten table converges to the same result; at
+    # heavy-preemption scale, set a reliable checkpoint dir and swap
+    # localCheckpoint → checkpoint to regain task-level recovery at
+    # the cost of the second write. The overwrite mode rides on the
+    # writer, not the session conf, so concurrent writers (streaming
     # micro-batches, materialize_graph's thread pool) never observe
     # dynamic-overwrite semantics unintentionally.
     staged = merged.localCheckpoint()
@@ -138,6 +146,26 @@ def merge_bucketed(
     finally:
         staged.unpersist()
     return touched
+
+
+def rewrite_table(spark: SparkSession, path: str, name: str, transform) -> None:
+    """Layout-preserving full-table rewrite: apply ``transform(df)`` and
+    write back keeping the bucketed partitioning (and ``_n_buckets``
+    sidecar) when present — data migrations must not silently flatten a
+    bucketed store back to the O(table)-per-merge plain layout."""
+    sidecar = Path(path) / "_n_buckets"
+    out = transform(_read_table(spark, path))
+    # materialize before overwriting the files the plan lazily reads
+    staged = out.localCheckpoint()
+    try:
+        if sidecar.exists():
+            write_bucketed_table(
+                staged, path, name, int(sidecar.read_text())
+            )
+        else:
+            staged.write.mode("overwrite").parquet(path)
+    finally:
+        staged.unpersist()
 
 
 def _write(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:

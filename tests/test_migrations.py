@@ -105,3 +105,72 @@ def test_constraints_cover_every_merge_key():
 
     for table, keys in TABLE_KEYS.items():
         assert CONSTRAINTS[table]["unique"] == keys
+
+
+def test_data_migrations_preserve_bucketed_layout(spark, tmp_path):
+    """A data migration over a BUCKETED store must keep the bucketed
+    layout (sidecar + partition dirs) — flattening it would silently
+    lose the O(touched-buckets) incremental-merge property."""
+    from datashare_extension_neo4j_spark.migrations import (
+        migration_mention_count_backfill,
+    )
+
+    pages = reference_pages(spark, n_docs=8)
+    pages_path = str(tmp_path / "pages")
+    pages.write.parquet(pages_path)
+    run_dir = str(tmp_path / "run")
+    run_pipeline(spark, pages_path, run_dir, buckets=4)
+    appears = Path(run_dir) / "appears_in"
+    assert (appears / "_n_buckets").exists()
+
+    migration_mention_count_backfill(spark, run_dir)
+
+    assert (appears / "_n_buckets").read_text() == "4"
+    assert any(p.name.startswith("_bucket=") for p in appears.iterdir())
+    df = spark.read.parquet(str(appears))
+    assert "_bucket" in df.columns  # partition column, not data column
+    assert df.where(
+        F.col("mentionCount") != F.size("mentionIds")
+    ).count() == 0
+    # and the bucketed merge path still engages afterwards
+    from datashare_extension_neo4j_spark.sinks.tables import merge_table
+
+    upd = df.drop("_bucket").limit(1)
+    merge_table(spark, str(appears), upd, "appears_in")
+    assert (appears / "_n_buckets").exists()
+
+
+def test_rerun_on_existing_dir_executes_pending_migrations(spark, tmp_path):
+    """assume_current is only valid for a freshly-created run dir: a
+    re-run over an EXISTING dir whose ladder record was wiped (as an
+    old-code store would be) must execute the data migrations for
+    real, not just record them."""
+    run_dir = _fresh_run(spark, tmp_path, n_docs=6)
+    # corrupt: inject a self-parent edge and wipe the applied record
+    roots_path = f"{run_dir}/doc_roots"
+    bad = spark.read.parquet(roots_path).unionByName(
+        spark.createDataFrame([("doc-0", "doc-0")], "src string, dst string")
+    )
+    bad.write.mode("overwrite").parquet(str(tmp_path / "r2"))
+    spark.read.parquet(str(tmp_path / "r2")).write.mode(
+        "overwrite"
+    ).parquet(roots_path)
+    (Path(run_dir) / "constraints.json").unlink()
+
+    # re-run the pipeline over the same (cached) run dir: stages are
+    # skipped, but the migration ladder must REPAIR the store
+    pages_path = str(tmp_path / "pages")
+    run_pipeline(spark, pages_path, run_dir)
+    assert spark.read.parquet(roots_path).where("src = dst").count() == 0
+
+
+def test_verify_constraints_rejects_missing_key_column(spark, tmp_path):
+    run_dir = _fresh_run(spark, tmp_path, n_docs=4)
+    ents_path = f"{run_dir}/entities"
+    broken = spark.read.parquet(ents_path).drop("category")
+    broken.write.mode("overwrite").parquet(str(tmp_path / "e2"))
+    spark.read.parquet(str(tmp_path / "e2")).write.mode(
+        "overwrite"
+    ).parquet(ents_path)
+    with pytest.raises(ConstraintViolation, match="missing unique-key"):
+        verify_constraints(spark, run_dir)
