@@ -146,6 +146,33 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_migrate(args) -> int:
+    """Bring a run dir to the current schema version (the reference
+    runs its migration ladder at app startup; this is the drivable
+    equivalent)."""
+    from .migrations import apply_migrations
+
+    spark = _spark(args.master)
+    applied = apply_migrations(spark, args.run_dir)
+    print(json.dumps({"applied": applied}))
+    return 0
+
+
+def cmd_verify_constraints(args) -> int:
+    """Audit every stored table against its uniqueness key; exit 1
+    with the violation message on corruption."""
+    from .migrations import ConstraintViolation, verify_constraints
+
+    spark = _spark(args.master)
+    try:
+        verify_constraints(spark, args.run_dir)
+    except ConstraintViolation as e:
+        print(json.dumps({"ok": False, "violation": str(e)}))
+        return 1
+    print(json.dumps({"ok": True}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="datashare_extension_neo4j_spark")
     p.add_argument("--master", default=None)
@@ -190,6 +217,14 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--query", default=None, help="DSL JSON string")
     d.add_argument("--limit", type=int, default=10_000)
     d.set_defaults(fn=cmd_dump)
+
+    mg = sub.add_parser("migrate")
+    mg.add_argument("--run-dir", required=True)
+    mg.set_defaults(fn=cmd_migrate)
+
+    vc = sub.add_parser("verify-constraints")
+    vc.add_argument("--run-dir", required=True)
+    vc.set_defaults(fn=cmd_verify_constraints)
 
     s = sub.add_parser("stats")
     s.add_argument("--run-dir", required=True)

@@ -49,3 +49,31 @@ def test_cli_full_cycle(spark, tmp_path, capsys):
     assert main(["stats", "--run-dir", run_dir]) == 0
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert st  # singleton written and echoed
+
+
+def test_cli_migrate_and_verify(spark, tmp_path, capsys):
+    pages = reference_pages(spark, n_docs=4)
+    pages_path = str(tmp_path / "pages")
+    pages.write.parquet(pages_path)
+    run_dir = str(tmp_path / "run")
+    assert main(["build", "--pages", pages_path, "--run-dir", run_dir]) == 0
+    capsys.readouterr()
+
+    # fresh store: ladder already recorded, nothing to apply, audit ok
+    assert main(["migrate", "--run-dir", run_dir]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["applied"] == []
+    assert main(["verify-constraints", "--run-dir", run_dir]) == 0
+    ok = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ok == {"ok": True}
+
+    # corrupt entities → audit exits 1 with the violation
+    ents = f"{run_dir}/entities"
+    doubled = spark.read.parquet(ents).unionByName(spark.read.parquet(ents))
+    doubled.write.mode("overwrite").parquet(str(tmp_path / "e2"))
+    spark.read.parquet(str(tmp_path / "e2")).write.mode(
+        "overwrite"
+    ).parquet(ents)
+    assert main(["verify-constraints", "--run-dir", run_dir]) == 1
+    bad = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert bad["ok"] is False and "entities" in bad["violation"]
