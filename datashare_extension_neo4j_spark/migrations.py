@@ -29,6 +29,7 @@ A parquet store has no live constraint engine, so the analog is:
 from __future__ import annotations
 
 import json
+from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -125,7 +126,7 @@ def migration_delete_self_parent(spark: SparkSession, run_dir: str) -> None:
 
 
 # ordered ladder; names mirror the reference's migration versions
-MIGRATIONS: list[tuple[str, object]] = [
+MIGRATIONS: list[tuple[str, Callable | None]] = [
     ("v_0_2_0_constraints_and_indexes", None),  # manifest-only: CONSTRAINTS
     ("v_0_6_0_mention_count_backfill", migration_mention_count_backfill),
     ("v_0_9_0_delete_self_parent", migration_delete_self_parent),

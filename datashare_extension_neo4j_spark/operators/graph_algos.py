@@ -20,6 +20,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected (a, b) edge list — each input edge in both
+    directions, deduped, MATERIALIZED (localCheckpoint) so iterative
+    consumers never re-execute the upstream pipeline per round."""
+    return (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -34,11 +48,7 @@ def connected_components(
     # every loop round below joins against ``sym`` twice plus a
     # convergence count — without this checkpoint each of the
     # O(log diameter) rounds would re-execute the full upstream plan.
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct().localCheckpoint()
+    sym = _symmetrize(edges, src, dst)
     comp = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -115,11 +125,7 @@ def pagerank(
     CC rounds; edges are checkpointed ONCE, ranks localCheckpointed
     per round so plans don't grow.
     """
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct().localCheckpoint()
+    sym = _symmetrize(edges, src, dst)
     deg = sym.groupBy("a").agg(F.count("*").cast("long").alias("deg"))
     nodes = deg.select(F.col("a").alias("node"), "deg")
     ranks = nodes.select(

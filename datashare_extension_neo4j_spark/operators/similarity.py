@@ -52,6 +52,15 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def _rank_topk(scored, k: int):
+    """Per-query top-k by cosine desc (deterministic nid tie-break) —
+    the shared re-rank tail of every ANN path."""
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -68,11 +77,7 @@ def cosine_topk(
         F.col(id_col).alias("nid"),
         cosine(F.col("qv"), F.col(vec_col)).alias("cos"),
     )
-    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k)
 
 
 def _planes(dim: int, bits: int, table: int, seed: int = 42) -> list[list[float]]:
@@ -231,11 +236,7 @@ def ivf_ann_topk(
     scored = cand.select(
         "qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos")
     )
-    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k)
 
 
 def lsh_ann_topk(
@@ -281,8 +282,4 @@ def lsh_ann_topk(
     scored = cand.select(
         "qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos")
     )
-    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k)

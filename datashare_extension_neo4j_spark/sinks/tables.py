@@ -53,6 +53,19 @@ def _read_table(spark: SparkSession, path: str) -> DataFrame:
     return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
 
+def _touched_buckets(
+    updates: DataFrame, key_cols: list[str], n_buckets: int
+) -> list[int]:
+    """Distinct bucket ids the updates' merge keys hash into."""
+    return [
+        r[0]
+        for r in bucketize(updates, key_cols, n_buckets)
+        .select(BUCKET_COL)
+        .distinct()
+        .collect()
+    ]
+
+
 def _read_for_keys(
     spark: SparkSession, path: str, keys: DataFrame, name: str
 ) -> DataFrame:
@@ -65,14 +78,9 @@ def _read_for_keys(
     sidecar = Path(path) / "_n_buckets"
     if not sidecar.exists():
         return _read_table(spark, path)
-    n = int(sidecar.read_text())
-    touched = [
-        r[0]
-        for r in bucketize(keys, TABLE_KEYS[name], n)
-        .select(BUCKET_COL)
-        .distinct()
-        .collect()
-    ]
+    touched = _touched_buckets(
+        keys, TABLE_KEYS[name], int(sidecar.read_text())
+    )
     return (
         spark.read.parquet(path)
         .where(F.col(BUCKET_COL).isin(touched or [-1]))

@@ -26,8 +26,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def _work(args) -> int:
-    htmls, = args
+def _work(htmls: list[bytes]) -> int:
     from datashare_extension_neo4j_spark.operators.extract import _parse_one
     from datashare_extension_neo4j_spark.operators.ner import (
         DEFAULT_GAZETTEER,
@@ -44,13 +43,11 @@ def _work(args) -> int:
 
 def measure(htmls: list[bytes], procs: int, trials: int) -> float:
     os.sched_setaffinity(0, set(range(procs)))  # children inherit
-    chunks = [
-        (htmls[i::procs],) for i in range(procs)
-    ]
+    chunks = [htmls[i::procs] for i in range(procs)]
     best = float("inf")
     for _ in range(trials):
         with mp.Pool(procs) as pool:
-            pool.map(_work, [(c[0][:50],) for c in chunks])  # warm imports
+            pool.map(_work, [c[:50] for c in chunks])  # warm imports
             t0 = time.perf_counter()
             done = sum(pool.map(_work, chunks))
             dt = time.perf_counter() - t0
