@@ -948,6 +948,62 @@ WHERE d.doc_id % 20 != 0
 """
 
 
+def kg_entity_cooccurrence(
+    spark: SparkSession, sf_dir: str, max_doc_entities: int = 1000
+) -> DataFrame:
+    """Entity co-occurrence edges — the classic KG enrichment: two
+    entities are related when they APPEAR_IN the same document;
+    weight = number of shared documents. Built as a self-join of the
+    distinct (entity, doc) incidence list on the document key.
+
+    Scale shape: the join shuffles on doc id (the semantic minimum);
+    ``max_doc_entities`` caps the per-document entity count BEFORE the
+    self-join — a hub page mentioning 10^5 entities would otherwise
+    emit 10^10 pairs (same degenerate-blowup guard as the LSH
+    hot-bucket cap; never binds at test scale, exercised by the
+    forced-hub test)."""
+    m = _mentions(spark, sf_dir)
+    inc = (
+        m.select(
+            F.concat(
+                F.col("mentionNorm"), F.lit("/"), F.col("category")
+            ).alias("entity"),
+            "documentId",
+        )
+        .distinct()
+    )
+    sizes = inc.groupBy("documentId").agg(F.count("*").alias("_dsz"))
+    capped = inc.join(
+        sizes.where(F.col("_dsz") <= max_doc_entities), "documentId"
+    ).select("entity", "documentId")
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.documentId") == F.col("b.documentId"))
+            & (F.col("a.entity") < F.col("b.entity")),
+        )
+        .groupBy(
+            F.col("a.entity").alias("entityA"),
+            F.col("b.entity").alias("entityB"),
+        )
+        .agg(F.countDistinct("a.documentId").cast("long").alias("nSharedDocs"))
+    )
+
+
+ORACLE_KG_ENTITY_COOCCURRENCE = _MENTIONS_CTE + """
+, inc AS (
+  SELECT DISTINCT mentionNorm || '/' || category AS entity, documentId
+  FROM m
+)
+SELECT a.entity AS entityA, b.entity AS entityB,
+       CAST(count(DISTINCT a.documentId) AS BIGINT) AS nSharedDocs
+FROM inc a JOIN inc b
+  ON a.documentId = b.documentId AND a.entity < b.entity
+GROUP BY a.entity, b.entity
+"""
+
+
 _PR_ITER = 5
 _PR_DAMP = 0.85
 _PR_DIGITS = 6
@@ -1280,6 +1336,70 @@ FROM s GROUP BY user_id, sessionId
 
 
 # ------------------------------------------------- similarity search
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: per user,
+    first ``view``, then the first ``click`` strictly after it, then
+    the first ``purchase`` strictly after that — the classic
+    product-analytics operator (sequential step dependency, so three
+    chained conditional-min aggregations rather than one groupBy).
+
+    Scale shape: every agg/join keys on user_id — one partitioning
+    reused across all three steps (AQE coalesces); no window over the
+    raw stream, so no per-user sort of the full history."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    row = lambda step, df: df.agg(  # noqa: E731
+        F.lit(step).alias("step"),
+        F.count("*").cast("long").alias("nUsers"),
+    )
+    return (
+        row("1_view", t1)
+        .unionByName(row("2_click_after_view", t2))
+        .unionByName(row("3_purchase_after_click", t3))
+    )
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t1
+  GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+  GROUP BY e.user_id
+)
+SELECT '1_view' AS step, CAST(count(*) AS BIGINT) AS nUsers FROM t1
+UNION ALL
+SELECT '2_click_after_view', CAST(count(*) AS BIGINT) FROM t2
+UNION ALL
+SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM t3
+"""
 
 
 def _cosine(a: F.Column, b: F.Column) -> F.Column:
@@ -2105,6 +2225,9 @@ QUERIES = {
     "decontaminate_ngram": (decontaminate_ngram, ORACLE_DECONTAMINATE_NGRAM),
     "vocab_stats": (vocab_stats, ORACLE_VOCAB_STATS),
     "kg_entity_pagerank": (kg_entity_pagerank, ORACLE_KG_ENTITY_PAGERANK),
+    "kg_entity_cooccurrence": (
+        kg_entity_cooccurrence, ORACLE_KG_ENTITY_COOCCURRENCE,
+    ),
     "dedup_minhash_clusters": (
         dedup_minhash_clusters,
         ORACLE_DEDUP_MINHASH_CLUSTERS,
@@ -2113,6 +2236,7 @@ QUERIES = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD),
     "quality_score": (quality_score, ORACLE_QUALITY_SCORE),
     "events_sessionize": (events_sessionize, ORACLE_EVENTS_SESSIONIZE),
+    "events_funnel": (events_funnel, ORACLE_EVENTS_FUNNEL),
     "ann_cosine_topk": (ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "ann_ivf_topk": (ann_ivf_topk, None),

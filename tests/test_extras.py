@@ -390,6 +390,41 @@ def test_connected_components_long_chain(spark):
     assert set(got.values()) == {0}
 
 
+def test_entity_cooccurrence_hub_doc_cap(spark, tmp_path):
+    """A hub document over the per-doc entity cap is excluded BEFORE
+    the self-join (quadratic-blowup guard); normal docs still pair.
+    Runs the real query against a scratch documents.parquet whose
+    doc 0 mentions every gazetteer word (8 > cap 4) and doc 1 two."""
+    import pandas as pd
+
+    from datashare_extension_neo4j_spark.queries import (
+        kg_entity_cooccurrence,
+    )
+
+    hub_text = "customer supplier spark window table vector stream batch"
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [hub_text, "spark table spark"],
+            "lang": ["en", "en"],
+            "n_chars": [len(hub_text), 17],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    capped = kg_entity_cooccurrence(
+        spark, str(tmp_path), max_doc_entities=4
+    )
+    got = {
+        (r["entityA"], r["entityB"]): r["nSharedDocs"]
+        for r in capped.collect()
+    }
+    # only doc 1's pair survives; the 8-entity hub contributes nothing
+    assert got == {("spark/ORGANIZATION", "table/LOCATION"): 1}
+    # uncapped: the hub emits all C(8,2)=28 pairs (+ overlap with doc 1)
+    full = kg_entity_cooccurrence(spark, str(tmp_path))
+    assert full.count() == 28
+
+
 def test_pagerank_star_graph(spark):
     """4-leaf star: the hub's rank must exceed every leaf's, leaves
     are symmetric, and values match the closed-form fixed point
