@@ -1004,6 +1004,115 @@ GROUP BY a.entity, b.entity
 """
 
 
+def tfidf_topterms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF
+    (tf = in-doc term count, idf = ln(N / df) over distinct-doc
+    frequency) — the classic keyword-extraction / doc-representation
+    operator.
+
+    Scale shape: one token groupBy for tf, one distinct+groupBy for df
+    (vocab-sized output), a broadcast-friendly join back on the word
+    key, then a per-doc top-k window — the ranking window partitions
+    by document, so no global sort. Scores rounded to 6dp for
+    cross-engine hash parity; ties broken by word for determinism."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()
+    w = _words(d)
+    tf = w.groupBy("doc_id", "word").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df_ = (
+        w.select("doc_id", "word")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    scored = tf.join(df_, "word").select(
+        "doc_id",
+        "word",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    win = W.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "word", "tf", "df", "tfidf")
+    )
+
+
+ORACLE_TFIDF_TOPTERMS = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM w GROUP BY doc_id, word
+), df AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, word FROM w) GROUP BY word
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (word), n
+)
+SELECT doc_id, rank, word, tf, df, tfidf FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, word) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week
+    (cohort), counted per week-offset of later activity — the standard
+    growth-analytics operator. Two aggs on user_id + one on the
+    (cohort, offset) pair; the cohort table is user-sized and joins
+    back broadcast-or-shuffle by AQE."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.weekofyear("ts").alias("wk"), F.year("ts").alias("yr")
+    )
+    # absolute week index (events span one year in the corpus; the
+    # yr*53 term keeps it correct across a boundary)
+    ev = ev.select(
+        "user_id", (F.col("yr") * 53 + F.col("wk")).cast("long").alias("week")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohortWeek"))
+    return (
+        ev.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohortWeek",
+            (F.col("week") - F.col("cohortWeek")).alias("weekOffset"),
+        )
+        .groupBy("cohortWeek", "weekOffset")
+        .agg(F.countDistinct("user_id").cast("long").alias("nUsers"))
+    )
+
+
+ORACLE_EVENTS_RETENTION = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(year(ts) * 53 + weekofyear(ts) AS BIGINT) AS week
+  FROM events
+), cohort AS (
+  SELECT user_id, min(week) AS cohortWeek FROM ev GROUP BY user_id
+)
+SELECT c.cohortWeek, ev.week - c.cohortWeek AS weekOffset,
+       CAST(count(DISTINCT ev.user_id) AS BIGINT) AS nUsers
+FROM ev JOIN cohort c USING (user_id)
+GROUP BY c.cohortWeek, weekOffset
+"""
+
+
 _PR_ITER = 5
 _PR_DAMP = 0.85
 _PR_DIGITS = 6
@@ -2237,6 +2346,8 @@ QUERIES = {
     "quality_score": (quality_score, ORACLE_QUALITY_SCORE),
     "events_sessionize": (events_sessionize, ORACLE_EVENTS_SESSIONIZE),
     "events_funnel": (events_funnel, ORACLE_EVENTS_FUNNEL),
+    "events_retention": (events_retention, ORACLE_EVENTS_RETENTION),
+    "tfidf_topterms": (tfidf_topterms, ORACLE_TFIDF_TOPTERMS),
     "ann_cosine_topk": (ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "ann_ivf_topk": (ann_ivf_topk, None),
