@@ -171,11 +171,15 @@ def verify_constraints(spark: SparkSession, run_dir: str) -> None:
     """Audit every stored table against its uniqueness key; raises
     ConstraintViolation on the first corrupt table. A stored table
     MISSING one of its key columns is itself a violation (a
-    schema-corrupted table must not pass the audit silently)."""
+    schema-corrupted table must not pass the audit silently), and so
+    is a run_dir containing NO constrained tables at all (a typo'd
+    path must not read as a clean audit)."""
+    audited = 0
     for table, spec in CONSTRAINTS.items():
         path = f"{run_dir}/{table}"
         if not Path(path).exists():
             continue
+        audited += 1
         df = spark.read.parquet(path)
         missing = [k for k in spec["unique"] if k not in df.columns]
         if missing:
@@ -184,3 +188,8 @@ def verify_constraints(spark: SparkSession, run_dir: str) -> None:
                 f"{missing} (schema corruption)"
             )
         assert_unique(df, spec["unique"], table)
+    if audited == 0:
+        raise ConstraintViolation(
+            f"no constrained tables found under {run_dir} — nothing "
+            "was audited (wrong path?)"
+        )

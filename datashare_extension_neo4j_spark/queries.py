@@ -987,7 +987,11 @@ def kg_entity_cooccurrence(
             F.col("a.entity").alias("entityA"),
             F.col("b.entity").alias("entityB"),
         )
-        .agg(F.countDistinct("a.documentId").cast("long").alias("nSharedDocs"))
+        # plain count: inc is distinct on (entity, doc), so each
+        # (pair, doc) row is already unique post-join — countDistinct
+        # would add an Expand + second distinct agg over the pair
+        # stream (the largest intermediate here) for identical results
+        .agg(F.count("*").cast("long").alias("nSharedDocs"))
     )
 
 
@@ -1004,7 +1008,12 @@ GROUP BY a.entity, b.entity
 """
 
 
-def tfidf_topterms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+_TFIDF_K = 3
+
+
+def tfidf_topterms(
+    spark: SparkSession, sf_dir: str, k: int = _TFIDF_K
+) -> DataFrame:
     """Top-k characteristic terms per document by TF-IDF
     (tf = in-doc term count, idf = ln(N / df) over distinct-doc
     frequency) — the classic keyword-extraction / doc-representation
@@ -1048,7 +1057,9 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     )
 
 
-ORACLE_TFIDF_TOPTERMS = """
+# k interpolated from the same constant the function defaults to, so
+# the oracle can never silently diverge from a changed default
+ORACLE_TFIDF_TOPTERMS = f"""
 WITH w AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
 ), tf AS (
@@ -1067,7 +1078,7 @@ SELECT doc_id, rank, word, tf, df, tfidf FROM (
   SELECT *, CAST(row_number() OVER (
     PARTITION BY doc_id ORDER BY tfidf DESC, word) AS BIGINT) AS rank
   FROM scored
-) WHERE rank <= 3
+) WHERE rank <= {_TFIDF_K}
 """
 
 
@@ -1077,13 +1088,18 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth-analytics operator. Two aggs on user_id + one on the
     (cohort, offset) pair; the cohort table is user-sized and joins
     back broadcast-or-shuffle by AQE."""
+    # absolute week index = floor(days-since-epoch / 7): monotone in
+    # time by construction. (year()*53 + weekofyear() is NOT — ISO
+    # weekofyear pairs Dec 29-31 with week 1 of the NEXT iso-year
+    # while year() stays calendar, producing negative offsets at every
+    # year boundary; and the oracle would faithfully replicate the
+    # bug, so only a monotone index is safe to gate on.)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id", F.weekofyear("ts").alias("wk"), F.year("ts").alias("yr")
-    )
-    # absolute week index (events span one year in the corpus; the
-    # yr*53 term keeps it correct across a boundary)
-    ev = ev.select(
-        "user_id", (F.col("yr") * 53 + F.col("wk")).cast("long").alias("week")
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            / 7
+        ).cast("long").alias("week"),
     )
     cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohortWeek"))
     return (
@@ -1101,7 +1117,8 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EVENTS_RETENTION = """
 WITH ev AS (
   SELECT user_id,
-         CAST(year(ts) * 53 + weekofyear(ts) AS BIGINT) AS week
+         CAST(floor(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    / 7) AS BIGINT) AS week
   FROM events
 ), cohort AS (
   SELECT user_id, min(week) AS cohortWeek FROM ev GROUP BY user_id

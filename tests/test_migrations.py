@@ -174,3 +174,9 @@ def test_verify_constraints_rejects_missing_key_column(spark, tmp_path):
     ).parquet(ents_path)
     with pytest.raises(ConstraintViolation, match="missing unique-key"):
         verify_constraints(spark, run_dir)
+
+
+def test_verify_constraints_rejects_empty_run_dir(spark, tmp_path):
+    """A typo'd/empty run dir must NOT read as a clean audit."""
+    with pytest.raises(ConstraintViolation, match="nothing"):
+        verify_constraints(spark, str(tmp_path / "no-such-run"))
