@@ -34,9 +34,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from datashare_extension_neo4j_spark.queries import QUERIES
 
-    # entries with oracle=None are approximate by construction (the ANN
-    # top-k paths, gated by the oracle-checked *recall* rows) → omitted:
-    # the driver records a rows-only check for them
+    # every registered query carries an exact DuckDB oracle — including
+    # the ANN top-k paths, whose bucket assignment is fixed-point
+    # (engine-exact) since round 4; the None filter is kept only as a
+    # guard for future genuinely non-SQL-expressible entries
     return {
         name: oracle
         for name, (_fn, oracle) in QUERIES.items()

@@ -16,21 +16,62 @@ iterations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+def _persistent_rdd_ids(spark: SparkSession) -> set[int] | None:
+    """ids of currently persisted RDDs (None if the JVM bridge is
+    unavailable, e.g. Spark Connect — rotation degrades to a no-op)."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(i) for i in jmap.keySet().toArray()}
+    except Exception:  # pragma: no cover - connect/remote sessions
+        return None
+
+
+def _eager_checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """``localCheckpoint`` (eager) plus the ids of the RDD blocks it
+    persisted, so the caller can release them once the NEXT round's
+    checkpoint has materialized. DataFrame.unpersist() can't do this:
+    localCheckpoint persists at the RDD level, below the SQL cache
+    manager."""
+    spark = df.sparkSession
+    before = _persistent_rdd_ids(spark)
+    out = df.localCheckpoint()
+    after = _persistent_rdd_ids(spark)
+    if before is None or after is None:
+        return out, set()
+    return out, after - before
+
+
+def _unpersist_rdd_ids(spark: SparkSession, ids: set[int]) -> None:
+    """Release checkpoint blocks by RDD id (non-blocking). Without
+    this, iterative loops accumulate one checkpointed copy of the
+    state per round — linear executor-storage growth in iterations."""
+    if not ids:
+        return
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in ids:
+            if jmap.containsKey(rid):
+                jmap.get(rid).unpersist(False)
+    except Exception:  # pragma: no cover - connect/remote sessions
+        pass
+
+
+def _symmetrize(edges: DataFrame, src: str, dst: str) -> tuple[DataFrame, set[int]]:
     """Undirected (a, b) edge list — each input edge in both
     directions, deduped, MATERIALIZED (localCheckpoint) so iterative
-    consumers never re-execute the upstream pipeline per round."""
-    return (
+    consumers never re-execute the upstream pipeline per round.
+    Returns the frame plus its checkpoint-block ids for release at
+    loop exit."""
+    return _eager_checkpoint(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(
             edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
         )
         .distinct()
-        .localCheckpoint()
     )
 
 
@@ -48,12 +89,12 @@ def connected_components(
     # every loop round below joins against ``sym`` twice plus a
     # convergence count — without this checkpoint each of the
     # O(log diameter) rounds would re-execute the full upstream plan.
-    sym = _symmetrize(edges, src, dst)
-    comp = (
+    spark = edges.sparkSession
+    sym, sym_ids = _symmetrize(edges, src, dst)
+    comp, comp_ids = _eager_checkpoint(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -72,15 +113,17 @@ def connected_components(
         lbl = stepped.select(
             F.col("node").alias("_lnode"), F.col("comp").alias("_lcomp")
         )
-        new_comp = (
-            stepped.join(lbl, stepped.comp == lbl._lnode, "left")
-            .select(
+        # truncate lineage each round; the PRIOR round's checkpoint
+        # blocks are released right after the convergence check (the
+        # last consumer of the old frame) — storage stays O(1) in
+        # rounds instead of accumulating one state copy per round
+        new_comp, new_ids = _eager_checkpoint(
+            stepped.join(lbl, stepped.comp == lbl._lnode, "left").select(
                 "node",
                 F.least(
                     F.col("comp"), F.coalesce("_lcomp", F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint()  # truncate lineage each round
         )
         changed = (
             new_comp.alias("n")
@@ -88,8 +131,10 @@ def connected_components(
             .where(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
-        comp = new_comp
+        _unpersist_rdd_ids(spark, comp_ids)
+        comp, comp_ids = new_comp, new_ids
         if changed == 0:
+            _unpersist_rdd_ids(spark, sym_ids)
             return comp
     # exhausting the bound without convergence means labels are WRONG
     # (hash-min moves the min one hop per round; diameter > max_iter
@@ -125,12 +170,13 @@ def pagerank(
     CC rounds; edges are checkpointed ONCE, ranks localCheckpointed
     per round so plans don't grow.
     """
-    sym = _symmetrize(edges, src, dst)
+    spark = edges.sparkSession
+    sym, sym_ids = _symmetrize(edges, src, dst)
     deg = sym.groupBy("a").agg(F.count("*").cast("long").alias("deg"))
     nodes = deg.select(F.col("a").alias("node"), "deg")
-    ranks = nodes.select(
-        "node", "deg", F.lit(1.0).alias("rank")
-    ).localCheckpoint()
+    ranks, rank_ids = _eager_checkpoint(
+        nodes.select("node", "deg", F.lit(1.0).alias("rank"))
+    )
     for _ in range(iterations):
         contrib = (
             ranks.select(F.col("node").alias("a"), (F.col("rank") / F.col("deg")).alias("c"))
@@ -138,9 +184,11 @@ def pagerank(
             .groupBy(F.col("b").alias("node"))
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
+        # the new checkpoint materializes eagerly (it consumed the old
+        # ranks), so the old round's blocks can be released at once —
+        # executor storage stays at one ranks copy, not `iterations`
+        ranks, new_ids = _eager_checkpoint(
+            nodes.join(contrib, "node", "left").select(
                 "node",
                 "deg",
                 F.round(
@@ -149,6 +197,8 @@ def pagerank(
                     digits,
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
+        _unpersist_rdd_ids(spark, rank_ids)
+        rank_ids = new_ids
+    _unpersist_rdd_ids(spark, sym_ids)
     return ranks.select("node", "rank")

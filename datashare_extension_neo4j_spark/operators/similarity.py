@@ -21,6 +21,19 @@ cross-joined onto the vectors, so the compiled plan is O(1) in
 megabytes of constants into every task; the broadcast form ships them
 once per executor. (Planes stay hash-derived and seeded — no RNG at
 execution time.)
+
+Bucket assignment (LSH signature bits, IVF list ids) is FIXED-POINT:
+vectors are quantized to scaled integers (``round(x · 2^20)`` for
+signature dots, ``round(x · 2^16)`` for IVF distances) and the
+plane numerators stay the raw hash-derived int16s, so every
+sign/argmin decision is an exact integer comparison — associative,
+summation-order-free, and bit-reproducible by any engine (a DuckDB
+oracle replays the identical buckets; float dots near the sign
+boundary would diverge across engines). Exactness bounds: signature
+sums need ``max|x| · 2^20 · 2^15 · dim < 2^63`` (|x| < 65k at
+dim 4096); IVF distance sums need ``(2·max|x|·2^16)² · dim < 2^63``
+(|x| < 360 at dim 4096) — far beyond any normalized embedding. The
+exact cosine RE-RANK stays in doubles on the original vectors.
 """
 
 from __future__ import annotations
@@ -80,18 +93,44 @@ def cosine_topk(
     return _rank_topk(scored, k)
 
 
-def _planes(dim: int, bits: int, table: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic hash-derived hyperplanes (no RNG)."""
+SIG_SCALE = 1 << 20  # vector quantization for signature sign dots
+IVF_SCALE = 1 << 16  # coarser scale for IVF squared distances
+
+
+def quantize(vec: Column, scale: int = SIG_SCALE) -> Column:
+    """array<float> → array<long>: ``round(x · scale)``. The multiply
+    by a power of two is exact in doubles, and round() is
+    half-away-from-zero in both Spark and DuckDB, so the quantized
+    integers are engine-identical."""
+    return F.transform(
+        vec,
+        lambda x: F.round(x.cast("double") * float(scale)).cast("long"),
+    )
+
+
+def dot_long(a: Column, b: Column) -> Column:
+    """Exact integer dot product (array<long> × array<long>)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _planes_int(dim: int, bits: int, table: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic hash-derived hyperplane numerators (int16 values;
+    the implied plane is numerator/32768 — only the SIGN of the dot
+    matters, so the common denominator never needs to be applied)."""
     planes = []
     for b in range(bits):
-        vec = []
+        vec: list[int] = []
         i = 0
         while len(vec) < dim:
             h = hashlib.sha256(f"{seed}:{table}:{b}:{i}".encode()).digest()
             for j in range(0, 32, 2):
                 if len(vec) >= dim:
                     break
-                vec.append(struct.unpack(">h", h[j : j + 2])[0] / 32768.0)
+                vec.append(struct.unpack(">h", h[j : j + 2])[0])
             i += 1
         planes.append(vec)
     return planes
@@ -102,29 +141,31 @@ def lsh_signature(
 ) -> Column:
     """b-bit random-hyperplane signature as an int column (literal
     form — kept for small/ad-hoc use; the scale path is
-    ``_with_lsh_signatures``, which ships planes as broadcast data)."""
+    ``_with_lsh_signatures``, which ships planes as broadcast data).
+    Fixed-point: identical bits to the broadcast form."""
+    vq = quantize(vec)
     sig = F.lit(0).cast("long")
-    for i, plane in enumerate(_planes(dim, bits, table)):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(dot(vec, p) >= 0, F.lit(1)).otherwise(F.lit(0))
+    for i, plane in enumerate(_planes_int(dim, bits, table)):
+        p = F.array(*[F.lit(int(x)).cast("long") for x in plane])
+        bit = F.when(dot_long(vq, p) >= 0, F.lit(1)).otherwise(F.lit(0))
         sig = sig + (bit * F.lit(2**i)).cast("long")
     return sig
 
 
 def _planes_df(spark, dim: int, bits: int, tables: int, seed: int = 42):
-    """One-row DataFrame: planes[t] = array of {w: 2^bit, v: plane}.
-    Broadcast-cross-joined onto the vectors so plane size never
-    touches the compiled plan."""
+    """One-row DataFrame: planes[t] = array of {w: 2^bit, v: int16
+    numerators}. Broadcast-cross-joined onto the vectors so plane size
+    never touches the compiled plan."""
     nested = [
         [
             {"w": 1 << b, "v": plane}
-            for b, plane in enumerate(_planes(dim, bits, t, seed))
+            for b, plane in enumerate(_planes_int(dim, bits, t, seed))
         ]
         for t in range(tables)
     ]
     return spark.createDataFrame(
         [(nested,)],
-        "_planes array<array<struct<w:long,v:array<double>>>>",
+        "_planes array<array<struct<w:long,v:array<long>>>>",
     )
 
 
@@ -135,11 +176,15 @@ def _with_lsh_signatures(
 
     The planes ride in via a broadcast one-row cross join; per table
     the signature folds the plane array with a higher-order aggregate
-    (sum of 2^bit where dot(vec, plane) >= 0) — identical bits to
-    ``lsh_signature``, zero shuffle, O(1) plan size."""
+    (sum of 2^bit where dot(vq, plane) >= 0, all integer math) —
+    identical bits to ``lsh_signature``, zero shuffle, O(1) plan size.
+    The quantized vector is materialized into a column FIRST: lambda
+    subexpressions are not CSE'd, so folding quantize() inside each
+    per-table aggregate would recompute it ``tables`` times."""
     spark = df.sparkSession
-    with_planes = df.crossJoin(
-        F.broadcast(_planes_df(spark, dim, bits, tables))
+    with_planes = (
+        df.withColumn("_vq", quantize(F.col(vec_col)))
+        .crossJoin(F.broadcast(_planes_df(spark, dim, bits, tables)))
     )
 
     def sig(t: int) -> Column:
@@ -148,7 +193,7 @@ def _with_lsh_signatures(
             F.lit(0).cast("long"),
             lambda acc, p: acc
             + F.when(
-                dot(F.col(vec_col), p.getField("v")) >= 0, p.getField("w")
+                dot_long(F.col("_vq"), p.getField("v")) >= 0, p.getField("w")
             ).otherwise(F.lit(0).cast("long")),
         )
     return with_planes.select(
@@ -189,26 +234,37 @@ def ivf_ann_topk(
 
     # centroids as broadcast DATA (one-row cross join), never plan
     # literals — at n_lists·dim scale a literal array would bloat every
-    # serialized task; here the plan stays O(1)
+    # serialized task; here the plan stays O(1). Centroids are
+    # quantized IN THE PLAN (JVM round, not Python round, which is
+    # half-even and would diverge from a SQL oracle at exact halves).
     spark = vectors.sparkSession
     cents_df = spark.createDataFrame(
         [([{"list_id": i, "c": c} for i, c in enumerate(centroids)],)],
         "_cents array<struct<list_id:int,c:array<double>>>",
+    ).select(
+        F.transform(
+            F.col("_cents"),
+            lambda s: F.struct(
+                s.getField("list_id").alias("list_id"),
+                quantize(s.getField("c"), IVF_SCALE).alias("cq"),
+            ),
+        ).alias("_cents")
     )
 
-    def nearest_lists(vec: Column, n: int) -> Column:
-        """ids of the n closest centroids (exact L2, data-side)."""
+    def nearest_lists(n: int) -> Column:
+        """ids of the n closest centroids — exact integer L2 over the
+        quantized vector (``_vq``), ties broken by list_id: every
+        comparison is engine-reproducible."""
         dists = F.transform(
             F.col("_cents"),
             lambda s: F.struct(
                 F.aggregate(
                     F.zip_with(
-                        vec,
-                        s.getField("c"),
-                        lambda a, b: (a.cast("double") - b)
-                        * (a.cast("double") - b),
+                        F.col("_vq"),
+                        s.getField("cq"),
+                        lambda a, b: (a - b) * (a - b),
                     ),
-                    F.lit(0.0),
+                    F.lit(0).cast("long"),
                     lambda acc, x: acc + x,
                 ).alias("d"),
                 s.getField("list_id").alias("list_id"),
@@ -216,21 +272,29 @@ def ivf_ann_topk(
         )
         return F.slice(F.array_sort(dists), 1, n)
 
-    v = vectors.crossJoin(F.broadcast(cents_df)).select(
-        F.col(id_col).alias("nid"),
-        F.col(vec_col).alias("nv"),
-        F.element_at(nearest_lists(F.col(vec_col), 1), 1)
-        .getField("list_id")
-        .alias("list_id"),
+    v = (
+        vectors.withColumn("_vq", quantize(F.col(vec_col), IVF_SCALE))
+        .crossJoin(F.broadcast(cents_df))
+        .select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("nv"),
+            F.element_at(nearest_lists(1), 1)
+            .getField("list_id")
+            .alias("list_id"),
+        )
     )
-    q = queries.crossJoin(F.broadcast(cents_df)).select(
-        "qid",
-        "qv",
-        F.explode(
-            F.transform(
-                nearest_lists(F.col("qv"), n_probe), lambda s: s.getField("list_id")
-            )
-        ).alias("list_id"),
+    q = (
+        queries.withColumn("_vq", quantize(F.col("qv"), IVF_SCALE))
+        .crossJoin(F.broadcast(cents_df))
+        .select(
+            "qid",
+            "qv",
+            F.explode(
+                F.transform(
+                    nearest_lists(n_probe), lambda s: s.getField("list_id")
+                )
+            ).alias("list_id"),
+        )
     )
     cand = v.join(F.broadcast(q), "list_id").where(F.col("nid") != F.col("qid"))
     scored = cand.select(

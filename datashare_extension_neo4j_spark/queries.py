@@ -849,11 +849,17 @@ def dedup_minhash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapped to its keeper (cluster label = min doc id in its connected
     component; singletons keep themselves) with a keep flag — the row
     shape a training pipeline joins against to filter the corpus.
-    One broadcast-size left join over the (tiny) cluster table."""
+
+    No broadcast hint on the cluster table: it holds every document
+    that appears in ANY near-dup pair, and web corpora run 30-50%
+    near-duplicates — corpus-fraction-sized at scale, so a forced
+    broadcast would OOM executors. AQE picks the strategy (broadcast
+    when the measured size is small, shuffle join on doc_id — the
+    correct plan — when it isn't)."""
     d = _docs(spark, sf_dir).select("doc_id")
     clusters = dedup_minhash_clusters(spark, sf_dir)
     keep = F.coalesce(F.col("cluster"), F.col("doc_id")).cast("long")
-    return d.join(F.broadcast(clusters), "doc_id", "left").select(
+    return d.join(clusters, "doc_id", "left").select(
         "doc_id",
         keep.alias("keepDocId"),
         (keep == F.col("doc_id")).alias("isKept"),
@@ -869,21 +875,63 @@ LEFT JOIN ({ORACLE_DEDUP_MINHASH_CLUSTERS}) cl USING (doc_id)
 """
 
 
-def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+_DECONTAM_N = 2  # registry entry: bigrams (the test corpus's tiny
+# vocabulary makes 13-grams all-unique → zero overlap, nothing tested);
+# production calls pass n=13, the standard benchmark-decontamination
+# width — exercised at n=13 in tests/test_extras.py on synthetic docs
+
+
+def _ngram_shingles(docs: DataFrame, n: int) -> DataFrame:
+    """Distinct word n-gram shingles per doc as 64-bit hashes
+    (xxhash64): at real n (13) the shingle STRINGS are ~100 bytes each
+    and the broadcast eval set would balloon; the hashes keep it at
+    8 bytes/shingle regardless of n. One array transform per doc —
+    no self-join shuffle. (For n=2 the underlying shingle strings are
+    identical to ``_shingles``.)"""
+    tk = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(tk) >= n,
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - n),
+                lambda i: F.slice(tk, i + 1, n),
+            ),
+            lambda arr: ~F.exists(arr, lambda w: w == ""),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(grams, lambda arr: F.array_join(arr, " "))
+            ).alias("shingle"),
+        )
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+    )
+
+
+def decontaminate_ngram(
+    spark: SparkSession, sf_dir: str, n: int = _DECONTAM_N
+) -> DataFrame:
     """Benchmark decontamination — the pretraining-pipeline operator
     that flags training documents sharing n-gram shingles with an
-    evaluation set (the standard 13-gram check at web scale; word
-    bigrams here to match the corpus's tiny vocabulary). The eval set
-    is the deterministic ``doc_id % 20 == 0`` slice.
+    evaluation set (``n=13`` is the standard web-scale check; the
+    registry entry runs ``n=2`` to match the corpus's tiny
+    vocabulary). The eval set is the deterministic
+    ``doc_id % 20 == 0`` slice.
 
     Scale shape: eval sets are small (thousands of docs), so the
-    benchmark shingle set BROADCASTS and contamination detection is a
-    map-side join over the corpus shingle stream — no corpus-sized
-    shuffle; only the per-doc hit count aggregates. The flag fires on
-    the contaminated FRACTION of a doc's shingles (≥ 0.9), the form
-    that stays meaningful on boilerplate-heavy web corpora where
-    near-universal shingles would make an any-overlap flag vacuous."""
-    sh = _shingles(spark, sf_dir)
+    benchmark shingle set — 8-byte xxhash64 keys, compact at any n —
+    BROADCASTS and contamination detection is a map-side join over the
+    corpus shingle stream; no corpus-sized shuffle; only the per-doc
+    hit count aggregates. The flag fires on the contaminated FRACTION
+    of a doc's shingles (≥ 0.9), the form that stays meaningful on
+    boilerplate-heavy web corpora where near-universal shingles would
+    make an any-overlap flag vacuous. (The oracle counts distinct
+    shingle strings; hashed counts match it absent a 64-bit collision
+    — odds ~1e-10 at 10^5 distinct shingles.)"""
+    sh = _ngram_shingles(_docs(spark, sf_dir), n)
     bench = (
         sh.where(F.col("doc_id") % 20 == 0).select("shingle").distinct()
     )
@@ -919,8 +967,20 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ngram_shingles_sql(n: int) -> str:
+    """DuckDB n-gram shingle CTE body — same strings `_ngram_shingles`
+    hashes (the oracle counts the strings themselves)."""
+    return f"""
+  SELECT DISTINCT doc_id, array_to_string(parts[i:i+{n - 1}], ' ') AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(parts) - {n - 1})) AS i) t
+  WHERE NOT list_contains(parts[i:i+{n - 1}], '')
+"""
+
+
+# n interpolated from the same constant the registry entry runs with
 ORACLE_DECONTAMINATE_NGRAM = f"""
-WITH sh AS ({_SHINGLES_SQL}
+WITH sh AS ({_ngram_shingles_sql(_DECONTAM_N)}
 ), bench AS (
   SELECT DISTINCT word FROM sh WHERE doc_id % 20 = 0
 ), per_doc AS (
@@ -948,8 +1008,11 @@ WHERE d.doc_id % 20 != 0
 """
 
 
+_COOC_CAP = 1000
+
+
 def kg_entity_cooccurrence(
-    spark: SparkSession, sf_dir: str, max_doc_entities: int = 1000
+    spark: SparkSession, sf_dir: str, max_doc_entities: int = _COOC_CAP
 ) -> DataFrame:
     """Entity co-occurrence edges — the classic KG enrichment: two
     entities are related when they APPEAR_IN the same document;
@@ -995,15 +1058,22 @@ def kg_entity_cooccurrence(
     )
 
 
-ORACLE_KG_ENTITY_COOCCURRENCE = _MENTIONS_CTE + """
+# the hub-doc cap is mirrored (docs with > _COOC_CAP entities excluded
+# from pairing, interpolated from the same constant the function
+# defaults to) so the oracle cannot silently diverge if the cap binds
+ORACLE_KG_ENTITY_COOCCURRENCE = _MENTIONS_CTE + f"""
 , inc AS (
   SELECT DISTINCT mentionNorm || '/' || category AS entity, documentId
   FROM m
+), kept AS (
+  SELECT documentId FROM inc
+  GROUP BY documentId HAVING count(*) <= {_COOC_CAP}
 )
 SELECT a.entity AS entityA, b.entity AS entityB,
        CAST(count(DISTINCT a.documentId) AS BIGINT) AS nSharedDocs
 FROM inc a JOIN inc b
   ON a.documentId = b.documentId AND a.entity < b.entity
+JOIN kept k ON a.documentId = k.documentId
 GROUP BY a.entity, b.entity
 """
 
@@ -1023,11 +1093,15 @@ def tfidf_topterms(
     (vocab-sized output), a broadcast-friendly join back on the word
     key, then a per-doc top-k window — the ranking window partitions
     by document, so no global sort. Scores rounded to 6dp for
-    cross-engine hash parity; ties broken by word for determinism."""
+    cross-engine hash parity; ties broken by word for determinism.
+
+    N (corpus size) is computed IN the plan: a 1-row count aggregate
+    broadcast-cross-joined onto the scored stream — no driver-side
+    ``count()`` action, so the query is one job, not two."""
     from pyspark.sql import Window as W
 
     d = _docs(spark, sf_dir)
-    n_docs = d.count()
+    n = d.agg(F.count("*").cast("double").alias("_n_docs"))
     w = _words(d)
     tf = w.groupBy("doc_id", "word").agg(
         F.count("*").cast("long").alias("tf")
@@ -1038,13 +1112,13 @@ def tfidf_topterms(
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("df"))
     )
-    scored = tf.join(df_, "word").select(
+    scored = tf.join(df_, "word").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "word",
         "tf",
         "df",
         F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 6
         ).alias("tfidf"),
     )
     win = W.partitionBy("doc_id").orderBy(
@@ -1468,41 +1542,61 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel over the event stream: per user,
     first ``view``, then the first ``click`` strictly after it, then
     the first ``purchase`` strictly after that — the classic
-    product-analytics operator (sequential step dependency, so three
-    chained conditional-min aggregations rather than one groupBy).
+    product-analytics operator (sequential step dependency).
 
-    Scale shape: every agg/join keys on user_id — one partitioning
-    reused across all three steps (AQE coalesces); no window over the
-    raw stream, so no per-user sort of the full history."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    t1 = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    Scale shape: ONE FileScan of events (pushdown-filtered to the
+    three step types) and ONE shuffle on user_id. The three chained
+    conditional mins are whole-partition window aggregates over the
+    same user_id partitioning — each step's threshold is a per-user
+    constant the next window can reference, no joins, no re-reads;
+    the follow-up per-user groupBy reuses the window's partitioning
+    (no second Exchange). The windows are min-aggregates over an
+    unbounded frame, so no per-user ORDER BY sort of the history —
+    only the partition-key sort WindowExec always does."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_type").isin("view", "click", "purchase")
     )
-    t2 = (
-        ev.where(F.col("event_type") == "click")
-        .join(t1, "user_id")
-        .where(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    w = W.partitionBy("user_id")
+    et = F.col("event_type")
+    e = (
+        ev.withColumn("t1", F.min(F.when(et == "view", F.col("ts"))).over(w))
+        .withColumn(
+            "t2",
+            F.min(
+                F.when((et == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (et == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts")
+                )
+            ).over(w),
+        )
     )
-    t3 = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(t2, "user_id")
-        .where(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
+    per_user = e.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
     )
-    row = lambda step, df: df.agg(  # noqa: E731
-        F.lit(step).alias("step"),
-        F.count("*").cast("long").alias("nUsers"),
+    counts = per_user.agg(
+        F.count("t1").cast("long").alias("c1"),
+        F.count("t2").cast("long").alias("c2"),
+        F.count("t3").cast("long").alias("c3"),
     )
-    return (
-        row("1_view", t1)
-        .unionByName(row("2_click_after_view", t2))
-        .unionByName(row("3_purchase_after_click", t3))
+    step = lambda name, c: F.struct(  # noqa: E731
+        F.lit(name).alias("step"), F.col(c).alias("nUsers")
     )
+    return counts.select(
+        F.explode(
+            F.array(
+                step("1_view", "c1"),
+                step("2_click_after_view", "c2"),
+                step("3_purchase_after_click", "c3"),
+            )
+        ).alias("s")
+    ).select("s.step", "s.nUsers")
 
 
 ORACLE_EVENTS_FUNNEL = """
@@ -1819,33 +1913,173 @@ def kg_appears_in_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_BITS, _ANN_TABLES, _ANN_DIM, _ANN_K = 4, 8, 64, 5
+_IVF_LISTS, _IVF_PROBE = 8, 4
+
+_ORACLE_COSINE = (
+    "CASE WHEN list_dot_product(CAST(qe.embedding AS DOUBLE[]), "
+    "CAST(qe.embedding AS DOUBLE[])) > 0 "
+    "AND list_dot_product(CAST(ne.embedding AS DOUBLE[]), "
+    "CAST(ne.embedding AS DOUBLE[])) > 0 "
+    "THEN list_dot_product(CAST(qe.embedding AS DOUBLE[]), "
+    "CAST(ne.embedding AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), "
+    "CAST(qe.embedding AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST(ne.embedding AS DOUBLE[]), "
+    "CAST(ne.embedding AS DOUBLE[])))) END"
+)
+
+_ORACLE_ANN_TAIL = f"""
+scored AS (
+  SELECT c.qid, c.nid, {_ORACLE_COSINE} AS cos
+  FROM cand c JOIN embeddings qe ON qe.vec_id = c.qid
+              JOIN embeddings ne ON ne.vec_id = c.nid
+), ranked AS (
+  SELECT qid, nid, cos, row_number() OVER (
+    PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+  FROM scored
+)
+SELECT qid, nid, rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {_ANN_K}
+"""
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN (scale path of ann_cosine_topk):
-    bucket join + exact re-rank. Approximate by construction → rows-
-    only driver check; recall vs the exact oracle is asserted in
-    tests/test_extras.py."""
+    bucket join + exact re-rank. Bucket assignment is FIXED-POINT
+    (operators/similarity.py: quantized vectors × int16 plane
+    numerators, exact integer sign tests), so the whole query is
+    deterministic and the DuckDB oracle replays the identical buckets
+    — full rows+schema+hash check, no approximation escape hatch.
+    Recall vs exact search is additionally gated by ann_lsh_recall."""
     from .operators.similarity import lsh_ann_topk
 
     e = _emb(spark, sf_dir)
     q = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    out = lsh_ann_topk(e, q, dim=64, k=5, bits=4, tables=8)
+    out = lsh_ann_topk(
+        e, q, dim=_ANN_DIM, k=_ANN_K, bits=_ANN_BITS, tables=_ANN_TABLES
+    )
     return out.select("qid", "nid", "rank", F.round("cos", 6).alias("cosine"))
 
 
+def _lsh_oracle_sql() -> str:
+    """Generated DuckDB replay of the fixed-point LSH path: the plane
+    int16 numerators are interpolated as literals (bits·tables·dim
+    ints — oracle-only; the Spark plan ships them as broadcast data),
+    signature sums stay < 2^53 so DOUBLE arithmetic is exact."""
+    from .operators.similarity import SIG_SCALE, _planes_int
+
+    def sig_expr(t: int) -> str:
+        terms = []
+        for b, plane in enumerate(_planes_int(_ANN_DIM, _ANN_BITS, t)):
+            lit = "[" + ",".join(str(x) for x in plane) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(vq, {lit}) >= 0"
+                f" THEN {1 << b} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    sig_cols = ",\n         ".join(
+        f"{sig_expr(t)} AS sig{t}" for t in range(_ANN_TABLES)
+    )
+    ts = ",".join(str(t) for t in range(_ANN_TABLES))
+    sigs = ",".join(f"sig{t}" for t in range(_ANN_TABLES))
+    return f"""
+WITH vq AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> round(x * {float(SIG_SCALE)})) AS vq
+  FROM embeddings
+), sigs AS (
+  SELECT vec_id,
+         {sig_cols}
+  FROM vq
+), vb AS (
+  SELECT vec_id, unnest([{ts}]) AS t, unnest([{sigs}]) AS s FROM sigs
+), cand AS (
+  SELECT DISTINCT q.vec_id AS qid, v.vec_id AS nid
+  FROM vb v JOIN vb q ON v.t = q.t AND v.s = q.s
+  WHERE q.vec_id < 10 AND v.vec_id != q.vec_id
+), {_ORACLE_ANN_TAIL}"""
+
+
+ORACLE_ANN_LSH_TOPK = _lsh_oracle_sql()
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (k-means coarse quantizer + probe + exact
-    re-rank). Approximate → rows-only driver check; recall asserted in
-    tests/test_extras.py."""
+    """IVF-bucketed ANN: coarse quantizer → probe → exact re-rank.
+    The codebook is the random-sample init every IVF build starts from
+    (centroids = embeddings of vec_id 0..n_lists-1) — the production
+    shape where the quantizer is trained once offline and shipped as
+    data; collected driver-side (n_lists·dim floats, bounded — the
+    documented exception to no-collect). List assignment is
+    FIXED-POINT (exact integer L2, ties by list_id), so buckets are
+    engine-exact and the DuckDB oracle replays the whole query —
+    full hash check. Recall is additionally gated by ann_ivf_recall."""
     from .operators.similarity import ivf_ann_topk
 
     e = _emb(spark, sf_dir)
     q = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    out = ivf_ann_topk(e, q, k=5, n_lists=8, n_probe=4)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.where(F.col("vec_id") < _IVF_LISTS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    out = ivf_ann_topk(
+        e, q, k=_ANN_K, n_lists=_IVF_LISTS, n_probe=_IVF_PROBE,
+        centroids=cents,
+    )
     return out.select("qid", "nid", "rank", F.round("cos", 6).alias("cosine"))
+
+
+def _ivf_oracle_sql() -> str:
+    """DuckDB replay of the fixed-point IVF path. Spark sums
+    (vq-cq)² in longs; the oracle expands to dot(v,v)-2dot(v,c)+
+    dot(c,c) in doubles — every term an exact integer < 2^53, so both
+    produce the same number."""
+    from .operators.similarity import IVF_SCALE
+
+    quant = (
+        "list_transform(CAST(embedding AS DOUBLE[]), "
+        f"x -> round(x * {float(IVF_SCALE)}))"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS list_id, {quant} AS cq
+  FROM embeddings WHERE vec_id < {_IVF_LISTS}
+), vq AS (
+  SELECT vec_id, {quant} AS vq FROM embeddings
+), dists AS (
+  SELECT v.vec_id, c.list_id,
+         list_dot_product(v.vq, v.vq)
+         - 2 * list_dot_product(v.vq, c.cq)
+         + list_dot_product(c.cq, c.cq) AS d
+  FROM vq v CROSS JOIN cents c
+), assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+    FROM dists
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS qid, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+    FROM dists WHERE vec_id < 10
+  ) WHERE rn <= {_IVF_PROBE}
+), cand AS (
+  SELECT DISTINCT p.qid, a.vec_id AS nid
+  FROM probes p JOIN assign a ON a.list_id = p.list_id
+  WHERE a.vec_id != p.qid
+), {_ORACLE_ANN_TAIL}"""
+
+
+ORACLE_ANN_IVF_TOPK = _ivf_oracle_sql()
 
 
 def _ann_recall_row(
@@ -1944,6 +2178,148 @@ SELECT asset_id, doc_id,
        CASE WHEN content IS NULL OR content = '' THEN '' ELSE substr(hx, 1, 16) END AS content_hash
 FROM h
 """
+
+
+_MEDIA_LSH_BITS, _MEDIA_LSH_TABLES, _MEDIA_DIM = 8, 2, 16
+_MEDIA_NEARDUP_THR = 0.99
+
+
+def media_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical multimodal training-data pipeline, end to end:
+    binary media → mapInPandas embedding (deterministic fake model in
+    ``operators/multimodal.py``; a real vision model slots into the
+    same Arrow-batched signature) → fixed-point LSH bucketing → exact
+    cosine re-rank ≥ 0.99 — image near-dup dedup, reusing the ANN
+    machinery of ``operators/similarity.py``. Bucket assignment is
+    engine-exact (integer sign tests), so the whole pipeline is
+    DuckDB-reconstructible and fully hash-checked.
+
+    Scale shape: the only Python node is the embed kernel (one
+    mapInPandas pass); candidates come from the band-bucket self-join,
+    never an all-pairs cross join."""
+    from .operators.multimodal import media_embeddings
+    from .operators.similarity import _with_lsh_signatures, cosine
+
+    d = _docs(spark, sf_dir)
+    media = d.select(
+        F.concat(F.lit("asset-"), F.col("doc_id")).alias("asset_id"),
+        F.encode(F.substring(F.col("text"), 1, 64), "utf-8").alias("content"),
+    )
+    emb = media_embeddings(media)
+    sigs = _with_lsh_signatures(
+        emb, "embedding", dim=_MEDIA_DIM, bits=_MEDIA_LSH_BITS,
+        tables=_MEDIA_LSH_TABLES, prefix="sig",
+    )
+    buckets = sigs.select(
+        "asset_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), F.col(f"sig{t}").alias("s")
+                    )
+                    for t in range(_MEDIA_LSH_TABLES)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "asset_id", "embedding", F.col("b.t").alias("t"), F.col("b.s").alias("s")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("aid"),
+            F.col("a.embedding").alias("av"),
+            F.col("b.asset_id").alias("bid"),
+            F.col("b.embedding").alias("bv"),
+        )
+        .dropDuplicates(["aid", "bid"])
+    )
+    return cand.select(
+        "aid",
+        "bid",
+        F.round(cosine(F.col("av"), F.col("bv")), 6).alias("cosine"),
+    ).where(F.col("cosine") >= _MEDIA_NEARDUP_THR)
+
+
+def _media_embed_neardup_oracle_sql() -> str:
+    """DuckDB replay of the embed→LSH→re-rank pipeline: the fake
+    model's hash projection (signed int16 pairs of sha256 / 32768) is
+    SQL-expressible, and the fixed-point signatures replay exactly."""
+    from .operators.similarity import SIG_SCALE, _planes_int
+
+    def u(i: int) -> str:
+        return f"('0x' || substr(hx, {4 * i + 1}, 4))::BIGINT"
+
+    emb_list = "[" + ", ".join(
+        f"({u(i)} - CASE WHEN {u(i)} >= 32768 THEN 65536 ELSE 0 END)"
+        " / 32768.0"
+        for i in range(_MEDIA_DIM)
+    ) + "]"
+
+    def sig_expr(t: int) -> str:
+        terms = []
+        for bb, plane in enumerate(
+            _planes_int(_MEDIA_DIM, _MEDIA_LSH_BITS, t)
+        ):
+            lit = "[" + ",".join(str(x) for x in plane) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(vq, {lit}) >= 0"
+                f" THEN {1 << bb} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    sig_cols = ",\n         ".join(
+        f"{sig_expr(t)} AS sig{t}" for t in range(_MEDIA_LSH_TABLES)
+    )
+    ts = ",".join(str(t) for t in range(_MEDIA_LSH_TABLES))
+    sigs = ",".join(f"sig{t}" for t in range(_MEDIA_LSH_TABLES))
+    cos = (
+        "CASE WHEN list_dot_product(ea.emb, ea.emb) > 0 "
+        "AND list_dot_product(eb.emb, eb.emb) > 0 "
+        "THEN list_dot_product(ea.emb, eb.emb) / "
+        "(sqrt(list_dot_product(ea.emb, ea.emb)) * "
+        "sqrt(list_dot_product(eb.emb, eb.emb))) END"
+    )
+    return f"""
+WITH m AS (
+  SELECT 'asset-' || doc_id AS asset_id,
+         sha256(substr(text, 1, 64)) AS hx
+  FROM documents
+), e AS (
+  SELECT asset_id, {emb_list} AS emb FROM m
+), vq AS (
+  SELECT asset_id,
+         list_transform(emb, x -> round(x * {float(SIG_SCALE)})) AS vq
+  FROM e
+), sigs AS (
+  SELECT asset_id,
+         {sig_cols}
+  FROM vq
+), vb AS (
+  SELECT asset_id, unnest([{ts}]) AS t, unnest([{sigs}]) AS s FROM sigs
+), cand AS (
+  SELECT DISTINCT a.asset_id AS aid, b.asset_id AS bid
+  FROM vb a JOIN vb b ON a.t = b.t AND a.s = b.s
+  WHERE a.asset_id < b.asset_id
+), scored AS (
+  SELECT c.aid, c.bid, round({cos}, 6) AS cosine
+  FROM cand c JOIN e ea ON ea.asset_id = c.aid
+              JOIN e eb ON eb.asset_id = c.bid
+)
+SELECT aid, bid, cosine FROM scored
+WHERE cosine >= {_MEDIA_NEARDUP_THR}
+"""
+
+
+ORACLE_MEDIA_EMBED_NEARDUP = _media_embed_neardup_oracle_sql()
 
 
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2366,11 +2742,12 @@ QUERIES = {
     "events_retention": (events_retention, ORACLE_EVENTS_RETENTION),
     "tfidf_topterms": (tfidf_topterms, ORACLE_TFIDF_TOPTERMS),
     "ann_cosine_topk": (ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
-    "ann_lsh_topk": (ann_lsh_topk, None),
-    "ann_ivf_topk": (ann_ivf_topk, None),
+    "ann_lsh_topk": (ann_lsh_topk, ORACLE_ANN_LSH_TOPK),
+    "ann_ivf_topk": (ann_ivf_topk, ORACLE_ANN_IVF_TOPK),
     "ann_lsh_recall": (ann_lsh_recall, ORACLE_ANN_RECALL),
     "ann_ivf_recall": (ann_ivf_recall, ORACLE_ANN_RECALL),
     "media_decode": (media_decode, ORACLE_MEDIA_DECODE),
+    "media_embed_neardup": (media_embed_neardup, ORACLE_MEDIA_EMBED_NEARDUP),
     "embed_neardup": (embed_neardup, ORACLE_EMBED_NEARDUP),
     "embed_quantize_stats": (embed_quantize_stats, ORACLE_EMBED_QUANTIZE_STATS),
     "text_stats": (text_stats, ORACLE_TEXT_STATS),

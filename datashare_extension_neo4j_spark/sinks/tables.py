@@ -364,10 +364,15 @@ def incremental_import(
     mapInPandas parse — the reference gets its counters free from the
     Cypher ``ResultSummary``; this is the Spark equivalent."""
     import shutil
+    import tempfile
 
     from ..pipeline import build_graph
 
-    ckpt = f"{run_dir}/_increment_ckpt"
+    # per-invocation unique staging dir OUTSIDE the store: a fixed
+    # path inside run_dir would collide across concurrent increments
+    # against the same store, and a hard kill would leave the stale
+    # checkpoint sitting inside the run dir
+    ckpt = tempfile.mkdtemp(prefix="ds_increment_ckpt_")
     g = build_graph(
         pages, project=project, use_rule_ner=True, fuse_ner=True,
         include_text=False, cache=False, checkpoint_dir=ckpt,

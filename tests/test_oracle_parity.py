@@ -31,6 +31,11 @@ def _canon(df):
         "dedup_minhash_assign",
         "decontaminate_ngram",
         "kg_entity_pagerank",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "media_embed_neardup",
+        "events_funnel",
+        "tfidf_topterms",
     ],
 )
 def test_oracle_parity(spark, name):
@@ -39,10 +44,11 @@ def test_oracle_parity(spark, name):
     fn, oracle = QUERIES[name]
     got = _canon(fn(spark, SF_DIR).toPandas())
     con = duckdb.connect()
-    con.execute(
-        "create view documents as select * from "
-        f"read_parquet('{SF_DIR}/documents.parquet')"
-    )
+    for tbl in ("documents", "embeddings", "events"):
+        con.execute(
+            f"create view {tbl} as select * from "
+            f"read_parquet('{SF_DIR}/{tbl}.parquet')"
+        )
     want = _canon(con.execute(oracle).df())
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want) and len(got) > 0
