@@ -2194,9 +2194,14 @@ def media_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact (integer sign tests), so the whole pipeline is
     DuckDB-reconstructible and fully hash-checked.
 
-    Scale shape: the only Python node is the embed kernel (one
-    mapInPandas pass); candidates come from the band-bucket self-join,
-    never an all-pairs cross join."""
+    Scale shape: the embed kernel (the expensive model at production
+    scale) runs EXACTLY ONCE — its output is materialized
+    (localCheckpoint) before the bucket self-join, which would
+    otherwise re-execute the Python kernel on both join sides; at
+    100 TB this stage is a parquet checkpoint, exactly like the
+    parse stage in ``pipeline.build_graph(checkpoint_dir=...)``.
+    Candidates come from the band-bucket join, never an all-pairs
+    cross join."""
     from .operators.multimodal import media_embeddings
     from .operators.similarity import _with_lsh_signatures, cosine
 
@@ -2205,7 +2210,7 @@ def media_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("asset-"), F.col("doc_id")).alias("asset_id"),
         F.encode(F.substring(F.col("text"), 1, 64), "utf-8").alias("content"),
     )
-    emb = media_embeddings(media)
+    emb = media_embeddings(media).localCheckpoint()
     sigs = _with_lsh_signatures(
         emb, "embedding", dim=_MEDIA_DIM, bits=_MEDIA_LSH_BITS,
         tables=_MEDIA_LSH_TABLES, prefix="sig",
