@@ -16,6 +16,8 @@ iterations.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,16 +32,26 @@ def _persistent_rdd_ids(spark: SparkSession) -> set[int] | None:
         return None
 
 
+_CKPT_LOCK = threading.Lock()
+
+
 def _eager_checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
     """``localCheckpoint`` (eager) plus the ids of the RDD blocks it
     persisted, so the caller can release them once the NEXT round's
     checkpoint has materialized. DataFrame.unpersist() can't do this:
     localCheckpoint persists at the RDD level, below the SQL cache
-    manager."""
+    manager.
+
+    The snapshot-diff is serialized under a module lock so concurrent
+    iterative loops on one SparkSession can't claim each other's
+    checkpoint ids. Caveat: a localCheckpoint issued OUTSIDE this
+    helper that materializes inside the window would still be
+    misattributed — keep iterative loops on this helper."""
     spark = df.sparkSession
-    before = _persistent_rdd_ids(spark)
-    out = df.localCheckpoint()
-    after = _persistent_rdd_ids(spark)
+    with _CKPT_LOCK:
+        before = _persistent_rdd_ids(spark)
+        out = df.localCheckpoint()
+        after = _persistent_rdd_ids(spark)
     if before is None or after is None:
         return out, set()
     return out, after - before
@@ -138,7 +150,12 @@ def connected_components(
             return comp
     # exhausting the bound without convergence means labels are WRONG
     # (hash-min moves the min one hop per round; diameter > max_iter
-    # leaves tail nodes mislabeled) — fail loudly, never return them
+    # leaves tail nodes mislabeled) — fail loudly, never return them.
+    # Release the loop's checkpoint blocks first: a caller that
+    # catches and retries with a bigger bound must not accumulate
+    # orphaned executor storage per attempt.
+    _unpersist_rdd_ids(spark, comp_ids)
+    _unpersist_rdd_ids(spark, sym_ids)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(graph diameter exceeds the bound); raise max_iter or use a "

@@ -303,6 +303,27 @@ def ivf_ann_topk(
     return _rank_topk(scored, k)
 
 
+def explode_buckets(
+    df: DataFrame, tables: int, prefix: str, keep: list[str]
+) -> DataFrame:
+    """(row, sig0..sigT-1) → one row per (t, s) bucket membership —
+    the shared unpivot step of every LSH bucket-join path (vector
+    side, query side, media near-dup)."""
+    return df.select(
+        *keep,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), F.col(f"{prefix}{t}").alias("s")
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("b"),
+    ).select(*keep, F.col("b.t").alias("t"), F.col("b.s").alias("s"))
+
+
 def lsh_ann_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -323,20 +344,8 @@ def lsh_ann_topk(
     q = _with_lsh_signatures(
         queries.select("qid", "qv"), "qv", dim, bits, tables, "qsig"
     )
-    v_buckets = v.select(
-        "nid",
-        "nv",
-        F.explode(
-            F.array(*[F.struct(F.lit(t).alias("t"), F.col(f"sig{t}").alias("s")) for t in range(tables)])
-        ).alias("b"),
-    ).select("nid", "nv", F.col("b.t").alias("t"), F.col("b.s").alias("s"))
-    q_buckets = q.select(
-        "qid",
-        "qv",
-        F.explode(
-            F.array(*[F.struct(F.lit(t).alias("t"), F.col(f"qsig{t}").alias("s")) for t in range(tables)])
-        ).alias("b"),
-    ).select("qid", "qv", F.col("b.t").alias("t"), F.col("b.s").alias("s"))
+    v_buckets = explode_buckets(v, tables, "sig", ["nid", "nv"])
+    q_buckets = explode_buckets(q, tables, "qsig", ["qid", "qv"])
     cand = (
         v_buckets.join(F.broadcast(q_buckets), ["t", "s"])
         .where(F.col("nid") != F.col("qid"))

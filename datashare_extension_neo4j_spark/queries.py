@@ -945,9 +945,9 @@ def decontaminate_ngram(
         .agg(F.countDistinct("shingle").cast("long").alias("nContamShingles"))
     )
     d = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") % 20 != 0)
-    n = F.coalesce(F.col("nContamShingles"), F.lit(0).cast("long"))
+    n_contam = F.coalesce(F.col("nContamShingles"), F.lit(0).cast("long"))
     frac = F.round(
-        F.when(F.col("nShingles") > 0, n / F.col("nShingles")).otherwise(
+        F.when(F.col("nShingles") > 0, n_contam / F.col("nShingles")).otherwise(
             F.lit(0.0)
         ),
         6,
@@ -957,7 +957,7 @@ def decontaminate_ngram(
         .join(hits, "doc_id", "left")
         .select(
             "doc_id",
-            n.alias("nContamShingles"),
+            n_contam.alias("nContamShingles"),
             F.coalesce(F.col("nShingles"), F.lit(0).cast("long")).alias(
                 "nShingles"
             ),
@@ -2203,7 +2203,11 @@ def media_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates come from the band-bucket join, never an all-pairs
     cross join."""
     from .operators.multimodal import media_embeddings
-    from .operators.similarity import _with_lsh_signatures, cosine
+    from .operators.similarity import (
+        _with_lsh_signatures,
+        cosine,
+        explode_buckets,
+    )
 
     d = _docs(spark, sf_dir)
     media = d.select(
@@ -2215,21 +2219,8 @@ def media_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "embedding", dim=_MEDIA_DIM, bits=_MEDIA_LSH_BITS,
         tables=_MEDIA_LSH_TABLES, prefix="sig",
     )
-    buckets = sigs.select(
-        "asset_id",
-        "embedding",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"), F.col(f"sig{t}").alias("s")
-                    )
-                    for t in range(_MEDIA_LSH_TABLES)
-                ]
-            )
-        ).alias("b"),
-    ).select(
-        "asset_id", "embedding", F.col("b.t").alias("t"), F.col("b.s").alias("s")
+    buckets = explode_buckets(
+        sigs, _MEDIA_LSH_TABLES, "sig", ["asset_id", "embedding"]
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (

@@ -364,15 +364,18 @@ def incremental_import(
     mapInPandas parse — the reference gets its counters free from the
     Cypher ``ResultSummary``; this is the Spark equivalent."""
     import shutil
-    import tempfile
+    import uuid
 
     from ..pipeline import build_graph
 
-    # per-invocation unique staging dir OUTSIDE the store: a fixed
-    # path inside run_dir would collide across concurrent increments
-    # against the same store, and a hard kill would leave the stale
-    # checkpoint sitting inside the run dir
-    ckpt = tempfile.mkdtemp(prefix="ds_increment_ckpt_")
+    # per-invocation UNIQUE staging dir, kept ON the store's storage:
+    # executors must reach it (a driver-local /tmp would be invisible
+    # on a multi-node cluster), and run_dir's filesystem is already
+    # shared — merge_table depends on that. The unique suffix removes
+    # the collision between concurrent increments; a hard kill can
+    # leave a stale `_increment_ckpt_*` dir behind, which is inert
+    # (never read by table scans) and safe to delete by prefix.
+    ckpt = f"{run_dir}/_increment_ckpt_{uuid.uuid4().hex}"
     g = build_graph(
         pages, project=project, use_rule_ner=True, fuse_ner=True,
         include_text=False, cache=False, checkpoint_dir=ckpt,

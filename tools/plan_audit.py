@@ -17,8 +17,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def audit(plan: str) -> tuple[int, int, int]:
-    ex = len(re.findall(r"Exchange (?!SinglePartition)[^B]", plan))
-    # count shuffle exchanges = Exchange hashpartitioning / rangepartitioning
+    # shuffle exchanges = Exchange hashpartitioning / rangepartitioning
     shuffle = len(re.findall(r"Exchange (hash|range)partitioning", plan))
     bcast = plan.count("BroadcastExchange")
     py = (
@@ -27,7 +26,6 @@ def audit(plan: str) -> tuple[int, int, int]:
         + plan.count("BatchEvalPython")
         + plan.count("FlatMapGroupsInPandas")
     )
-    del ex
     return shuffle, bcast, py
 
 
