@@ -2254,11 +2254,23 @@ def _media_embed_neardup_oracle_sql() -> str:
     def u(i: int) -> str:
         return f"('0x' || substr(hx, {4 * i + 1}, 4))::BIGINT"
 
-    emb_list = "[" + ", ".join(
-        f"({u(i)} - CASE WHEN {u(i)} >= 32768 THEN 65536 ELSE 0 END)"
-        " / 32768.0"
-        for i in range(_MEDIA_DIM)
-    ) + "]"
+    # null content embeds as the ZERO vector, exactly like the Spark
+    # kernel (operators/multimodal.py media_embeddings) — not a NULL
+    # list: DuckDB's list_dot_product THROWS on NULL elements instead
+    # of propagating, and the zero vector reproduces Spark's bucket
+    # ids bit-for-bit (all sign bits fire on 0 >= 0); its pairs are
+    # then dropped by the zero-norm cosine guard on both engines
+    emb_list = (
+        "CASE WHEN hx IS NULL THEN ["
+        + ", ".join("0.0" for _ in range(_MEDIA_DIM))
+        + "] ELSE ["
+        + ", ".join(
+            f"({u(i)} - CASE WHEN {u(i)} >= 32768 THEN 65536 ELSE 0 END)"
+            " / 32768.0"
+            for i in range(_MEDIA_DIM)
+        )
+        + "] END"
+    )
 
     def sig_expr(t: int) -> str:
         terms = []
