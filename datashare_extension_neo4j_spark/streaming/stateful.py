@@ -129,6 +129,174 @@ def windowed_event_counts(
     )
 
 
+NEAR_DUP_INPUT = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.LongType()),
+    ]
+)
+
+NEAR_DUP_OUTPUT = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("band", T.StringType()),
+        T.StructField("keeperDocId", T.StringType()),
+        T.StructField("ts", T.LongType()),
+    ]
+)
+_ND_STATE = T.StructType(
+    [
+        T.StructField("first_doc", T.StringType()),
+        T.StructField("first_ts", T.LongType()),
+    ]
+)
+
+
+def streaming_band_keys(
+    docs: DataFrame, n_minhash: int = 8, band_size: int = 4
+) -> DataFrame:
+    """(doc_id, text, ts) → exploded (band, doc_id, ts) LSH band keys,
+    computed ENTIRELY in-row (array transforms + array_min — zero
+    shuffle, so legal in an append-mode stream where the batch path's
+    explode→groupBy signature aggregation is not). Band values are
+    bit-identical to the batch path (`queries.dedup_minhash_sig`,
+    defaults k=8, b=2, r=4): min over the in-row shingle multiset
+    equals min over the distinct set — asserted by
+    `test_streaming_bands_match_batch`. Docs with no shingles are
+    passed over (the batch path drops them too — they can never
+    pair)."""
+    from pyspark.sql import functions as F
+
+    tk = F.split(F.col("text"), " ")
+    sh = F.when(
+        F.size(tk) >= 2,
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - 2),
+                lambda i: F.slice(tk, i + 1, 2),
+            ),
+            lambda arr: ~F.exists(arr, lambda w: w == ""),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    shingles = F.transform(sh, lambda arr: F.array_join(arr, " "))
+    with_sh = docs.select(
+        "doc_id", "ts", shingles.alias("_sh")
+    ).where(F.size("_sh") > 0)
+
+    def sig(s: int):
+        return F.array_min(
+            F.transform(
+                F.col("_sh"), lambda x: F.md5(F.concat(F.lit(f"{s}:"), x))
+            )
+        )
+
+    def band(i: int):
+        return F.md5(
+            F.concat_ws(
+                ",", *[sig(j) for j in range(i * band_size, (i + 1) * band_size)]
+            )
+        )
+
+    n_bands = n_minhash // band_size
+    return with_sh.select(
+        "doc_id",
+        "ts",
+        F.explode(
+            F.array_distinct(F.array(*[band(i) for i in range(n_bands)]))
+        ).alias("band"),
+    )
+
+
+def _band_bucket_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per band bucket: remember the FIRST doc ever seen; every later
+    doc landing in the bucket is emitted as a near-dup candidate
+    against that keeper. Within a batch, rows process in (ts, doc_id)
+    order so the keeper is deterministic."""
+    if state.exists:
+        keeper_doc, keeper_ts = state.get
+    else:
+        keeper_doc, keeper_ts = None, None
+    out: list[dict] = []
+    for pdf in pdfs:
+        for r in pdf.sort_values(["ts", "doc_id"]).itertuples(index=False):
+            if keeper_doc is None:
+                keeper_doc, keeper_ts = r.doc_id, int(r.ts)
+            elif r.doc_id != keeper_doc:
+                out.append(
+                    {
+                        "doc_id": r.doc_id,
+                        "band": key[0],
+                        "keeperDocId": keeper_doc,
+                        "ts": int(r.ts),
+                    }
+                )
+    if keeper_doc is not None:
+        state.update((keeper_doc, keeper_ts))
+    if out:
+        yield pd.DataFrame(
+            out, columns=[f.name for f in NEAR_DUP_OUTPUT]
+        )
+
+
+def near_dup_candidates_stream(
+    stream: DataFrame, n_minhash: int = 8, band_size: int = 4
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup detection — the online form of
+    the batch shingle→minhash→band→bucket path: each arriving doc is
+    flagged against the first doc that ever occupied any of its band
+    buckets, across micro-batches and restarts (state-store backed).
+
+    Semantics: band collision = near-dup CANDIDATE (LSH), exactly as
+    in the batch path, where `dedup_minhash_pairs` then verifies with
+    exact Jaccard; a streaming consumer verifies candidates the same
+    way (join content, compute Jaccard) or accepts band-level
+    precision. A doc whose bands collide with different keepers emits
+    one row per band — consumers take min(keeperDocId) per doc.
+
+    Scale shape: band keys are in-row expressions (no shuffle before
+    the stateful op); state is O(distinct band buckets) sharded by the
+    state-store partitioning, same as every keyed Structured Streaming
+    operator; hot buckets cost state lookups, not cross products —
+    nothing quadratic anywhere."""
+    bands = streaming_band_keys(stream, n_minhash, band_size)
+    return bands.groupBy("band").applyInPandasWithState(
+        _band_bucket_fn,
+        outputStructType=NEAR_DUP_OUTPUT,
+        stateStructType=_ND_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def start_near_dup_stream(
+    spark,
+    input_path: str,
+    output_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """File-source wiring: parquet (doc_id, text, ts) in, near-dup
+    candidate parquet out; checkpointed state survives restarts."""
+    stream = (
+        spark.readStream.schema(NEAR_DUP_INPUT)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_path)
+    )
+    writer = (
+        near_dup_candidates_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def dedup_within_watermark_stream(
     stream: DataFrame,
     key_col: str = "key",
