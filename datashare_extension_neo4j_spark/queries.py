@@ -1968,7 +1968,11 @@ def _lsh_oracle_sql() -> str:
     """Generated DuckDB replay of the fixed-point LSH path: the plane
     int16 numerators are interpolated as literals (bits·tables·dim
     ints — oracle-only; the Spark plan ships them as broadcast data),
-    signature sums stay < 2^53 so DOUBLE arithmetic is exact."""
+    signature sums stay < 2^53 so DOUBLE arithmetic is exact.
+
+    Input contract: embedding elements are non-null (BASELINE input
+    hint); DuckDB's list_dot_product THROWS on null ELEMENTS (a fully
+    null row is fine — NULL list propagates NULL, matching Spark)."""
     from .operators.similarity import SIG_SCALE, _planes_int
 
     def sig_expr(t: int) -> str:
