@@ -73,11 +73,15 @@ def _root_id() -> F.Column:
 
 def _words(docs: DataFrame) -> DataFrame:
     """(doc_id, word, pos) token stream — posexplode over a single-space
-    split; mirrors the oracle's unnest + generate_subscripts."""
+    split; mirrors the oracle's unnest + generate_subscripts. Empty
+    tokens (doubled/leading spaces in scraped text) are dropped AFTER
+    position assignment, so '' can never become a vocabulary term or a
+    tf-idf keyword while offsets still index the original split —
+    consumers' oracles filter word != '' identically."""
     return docs.select(
         "doc_id",
         F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"),
-    )
+    ).where(F.col("word") != "")
 
 
 def _gazetteer_df(spark: SparkSession) -> DataFrame:
@@ -602,7 +606,10 @@ FROM keys GROUP BY wordsetKey HAVING count(*) > 1
 
 
 _N_MINHASH = 8
-_BAND_SIZE = 4  # 2 bands of 4
+_BAND_SIZE = 4
+assert _N_MINHASH % _BAND_SIZE == 0, "bands must tile the signature"
+_N_BANDS = _N_MINHASH // _BAND_SIZE  # 2 bands of 4 at the defaults
+_MINHASH_MAX_BUCKET = 10_000  # hot-band cap, mirrored in the oracle
 
 
 def minhash_band_pairs(bands: DataFrame, max_bucket: int) -> DataFrame:
@@ -652,9 +659,12 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sig_with_bands(w: DataFrame) -> DataFrame:
-    """(doc_id, word) → (doc_id, sig, band0, band1): all k minhashes in
-    ONE aggregation pass — map-side partial min per seed, no seed
-    explosion, 1 shuffle of k small columns."""
+    """(doc_id, word) → (doc_id, sig, band0..band{_N_BANDS-1}): all k
+    minhashes in ONE aggregation pass — map-side partial min per seed,
+    no seed explosion, 1 shuffle of k small columns. Band columns are
+    derived from the constants, so retuning _N_MINHASH/_BAND_SIZE
+    regenerates every band (no silently-dropped bands, no concat_ws
+    swallowing null parts)."""
     per_doc = w.groupBy("doc_id").agg(
         F.concat_ws(
             ",",
@@ -669,7 +679,9 @@ def _sig_with_bands(w: DataFrame) -> DataFrame:
         F.concat_ws(",", *[parts.getItem(j) for j in range(i * _BAND_SIZE, (i + 1) * _BAND_SIZE)])
     )
     return per_doc.select(
-        "doc_id", "sig", band(0).alias("band0"), band(1).alias("band1")
+        "doc_id",
+        "sig",
+        *[band(i).alias(f"band{i}") for i in range(_N_BANDS)],
     )
 
 
@@ -704,8 +716,11 @@ WITH w AS ({_SHINGLES_SQL}
   FROM sigs GROUP BY doc_id
 )
 SELECT doc_id, sig,
-       md5(array_to_string(string_split(sig, ',')[1:{_BAND_SIZE}], ',')) AS band0,
-       md5(array_to_string(string_split(sig, ',')[{_BAND_SIZE + 1}:{2 * _BAND_SIZE}], ',')) AS band1
+       {", ".join(
+           f"md5(array_to_string(string_split(sig, ',')"
+           f"[{i * _BAND_SIZE + 1}:{(i + 1) * _BAND_SIZE}], ',')) AS band{i}"
+           for i in range(_N_BANDS)
+       )}
 FROM per_doc
 """
 
@@ -713,7 +728,7 @@ FROM per_doc
 def dedup_minhash_pairs(
     spark: SparkSession,
     sf_dir: str,
-    max_bucket: int = 10_000,
+    max_bucket: int = _MINHASH_MAX_BUCKET,
     persist_shingles: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs (same band bucket) verified with exact
@@ -725,9 +740,14 @@ def dedup_minhash_pairs(
     within-bucket): buckets above the cap are excluded BEFORE the
     self-join, bounding candidates at max_bucket² per bucket. The size
     pre-pass groups on the same key as the self-join, so it adds one
-    co-partitioned agg, not a new shuffle profile. The default never
-    binds at test scale (oracle-identical); the cap path is exercised
-    by tests/test_extras.py with a forced hot bucket."""
+    co-partitioned agg, not a new shuffle profile. The ORACLE mirrors
+    the default cap (same interpolated constant), so parity holds even
+    when it binds; the cap path is exercised by tests/test_extras.py
+    with a forced hot bucket.
+
+    ``persist_shingles=True`` caches a frame the CALLER must release
+    (``spark.catalog.clearCache()`` or keep a handle) — the flag is
+    for one-shot jobs over remote storage, not long-lived drivers."""
     # the shingle stream feeds BOTH the signature pass and the exact
     # verification. persist_shingles=True caches it instead of
     # exploding the corpus twice — worth it when the recompute (here a
@@ -740,7 +760,10 @@ def dedup_minhash_pairs(
         w = w.persist()
     sig = _sig_with_bands(w)
     bands = sig.select(
-        "doc_id", F.explode(F.array("band0", "band1")).alias("band")
+        "doc_id",
+        F.explode(
+            F.array(*[f"band{i}" for i in range(_N_BANDS)])
+        ).alias("band"),
     )
     cand = minhash_band_pairs(bands, max_bucket)
     sizes = w.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -784,13 +807,22 @@ WITH wd AS ({_SHINGLES_SQL}
   FROM sigs GROUP BY doc_id
 ), bands AS (
   SELECT doc_id, unnest([
-      md5(array_to_string(string_split(sig, ',')[1:{_BAND_SIZE}], ',')),
-      md5(array_to_string(string_split(sig, ',')[{_BAND_SIZE + 1}:{2 * _BAND_SIZE}], ','))
+      {", ".join(
+          f"md5(array_to_string(string_split(sig, ',')"
+          f"[{i * _BAND_SIZE + 1}:{(i + 1) * _BAND_SIZE}], ','))"
+          for i in range(_N_BANDS)
+      )}
   ]) AS band
   FROM per_doc
+), bandsd AS (
+  SELECT DISTINCT doc_id, band FROM bands
+), kept AS (
+  SELECT band FROM bandsd
+  GROUP BY band HAVING count(*) <= {_MINHASH_MAX_BUCKET}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS docA, b.doc_id AS docB
-  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+  FROM bandsd a JOIN bandsd b ON a.band = b.band AND a.doc_id < b.doc_id
+  JOIN kept k ON a.band = k.band
 ), sizes AS (
   SELECT doc_id, count(*) AS sz FROM wd GROUP BY doc_id
 ), inter AS (
@@ -1134,8 +1166,10 @@ def tfidf_topterms(
 # k interpolated from the same constant the function defaults to, so
 # the oracle can never silently diverge from a changed default
 ORACLE_TFIDF_TOPTERMS = f"""
-WITH w AS (
+WITH w0 AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), w AS (
+  SELECT doc_id, word FROM w0 WHERE word != ''
 ), tf AS (
   SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
   FROM w GROUP BY doc_id, word
@@ -1303,8 +1337,10 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_VOCAB_STATS = """
-WITH w AS (
+WITH w0 AS (
   SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), w AS (
+  SELECT word FROM w0 WHERE word != ''
 ), c AS (
   SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY word
 ), r AS (
@@ -1373,8 +1409,11 @@ FROM votes GROUP BY doc_id
 """
 
 
+_JACCARD_MAX_BLOCK = 10_000  # degenerate-block cap, mirrored in oracle
+
+
 def dedup_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, max_block: int = 10_000
+    spark: SparkSession, sf_dir: str, max_block: int = _JACCARD_MAX_BLOCK
 ) -> DataFrame:
     """Exact bigram-shingle Jaccard over blocked pairs: candidates are
     documents sharing (lang, length bucket) — a deterministic blocking
@@ -1383,8 +1422,9 @@ def dedup_ngram_jaccard(
 
     ``max_block`` excludes degenerate blocks before the self-join
     (same guard as the minhash hot-bucket cap: one hot (lang, length)
-    block at web scale is quadratic); the default never binds at test
-    scale, keeping the oracle identical."""
+    block at web scale is quadratic); the ORACLE mirrors the default
+    cap (same interpolated constant), so parity holds even when it
+    binds."""
     d = _docs(spark, sf_dir).select(
         "doc_id", "lang", (F.col("n_chars") - F.col("n_chars") % 50).alias("bucket")
     )
@@ -1430,10 +1470,14 @@ ORACLE_DEDUP_NGRAM_JACCARD = f"""
 WITH sh AS ({_SHINGLES_SQL}
 ), d AS (
   SELECT doc_id, lang, n_chars - n_chars % 50 AS bucket FROM documents
+), kept_blk AS (
+  SELECT lang, bucket FROM d
+  GROUP BY lang, bucket HAVING count(*) <= {_JACCARD_MAX_BLOCK}
 ), blocked AS (
   SELECT a.doc_id AS docA, b.doc_id AS docB
   FROM d a JOIN d b
     ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  JOIN kept_blk k ON a.lang = k.lang AND a.bucket = k.bucket
 ), sizes AS (
   SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
 ), inter AS (
@@ -1624,47 +1668,26 @@ SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM t3
 
 def _cosine(a: F.Column, b: F.Column) -> F.Column:
     """Null for zero-norm vectors (NaN would sort above every real
-    cosine under desc) — the oracle mirrors this with CASE WHEN."""
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    na2 = F.aggregate(
-        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nb2 = F.aggregate(
-        F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return F.when(
-        (na2 > 0) & (nb2 > 0), dot / (F.sqrt(na2) * F.sqrt(nb2))
-    )
+    cosine under desc) — the oracle mirrors this with CASE WHEN.
+    Single implementation: operators/similarity.cosine (the zero-norm
+    guard is subtle enough to live in exactly one place)."""
+    from .operators.similarity import cosine
+
+    return cosine(a, b)
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 for query vectors vec_id < 10 —
-    broadcast the query side, rank with a window."""
-    from pyspark.sql import Window as W
+    """Brute-force cosine top-5 for query vectors vec_id < 10 — the
+    shared cosine_topk operator (broadcast query side, exact scores,
+    per-query rank window), scores rounded to 6dp for hash parity."""
+    from .operators.similarity import cosine_topk
 
     e = _emb(spark, sf_dir)
     q = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    pairs = e.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("qid"))
-    scored = pairs.select(
-        "qid",
-        F.col("vec_id").alias("nid"),
-        _cosine(F.col("qv"), F.col("embedding")).alias("cos"),
-    )
-    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
-        .select("qid", "nid", "rank", F.round("cos", 6).alias("cosine"))
+    return cosine_topk(e, q, k=5).select(
+        "qid", "nid", "rank", F.round("cos", 6).alias("cosine")
     )
 
 
@@ -1776,9 +1799,13 @@ FROM s
 
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + quality signals per document."""
+    """Token counting + quality signals per document. Empty split
+    fields (doubled spaces) are not tokens — mirrored in the oracle
+    with list_filter."""
     d = _docs(spark, sf_dir)
-    tokens = F.split(F.col("text"), " ")
+    tokens = F.filter(
+        F.split(F.col("text"), " "), lambda x: x != ""
+    )
     return d.select(
         "doc_id",
         F.size(tokens).cast("long").alias("nTokens"),
@@ -1791,13 +1818,17 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TEXT_STATS = """
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars_t,
+         list_filter(string_split(text,' '), x -> x != '') AS toks
+  FROM documents
+)
 SELECT doc_id,
-       CAST(len(string_split(text,' ')) AS BIGINT) AS nTokens,
-       CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS nDistinctTokens,
-       CAST(length(text) AS BIGINT) AS nChars,
-       round(len(list_distinct(string_split(text,' '))) * 1.0 /
-             len(string_split(text,' ')), 6) AS ttr
-FROM documents
+       CAST(len(toks) AS BIGINT) AS nTokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS nDistinctTokens,
+       CAST(n_chars_t AS BIGINT) AS nChars,
+       round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS ttr
+FROM t
 """
 
 
@@ -2206,6 +2237,7 @@ def media_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse stage in ``pipeline.build_graph(checkpoint_dir=...)``.
     Candidates come from the band-bucket join, never an all-pairs
     cross join."""
+    from .operators.graph_algos import _eager_checkpoint
     from .operators.multimodal import media_embeddings
     from .operators.similarity import (
         _with_lsh_signatures,
@@ -2218,7 +2250,11 @@ def media_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("asset-"), F.col("doc_id")).alias("asset_id"),
         F.encode(F.substring(F.col("text"), 1, 64), "utf-8").alias("content"),
     )
-    emb = media_embeddings(media).localCheckpoint()
+    # checkpoint via the shared helper so the snapshot-diff lock keeps
+    # concurrent iterative loops from claiming (and later destroying)
+    # these blocks; the ids are deliberately kept alive — the frame
+    # backs the returned query for its whole lifetime
+    emb, _emb_ids = _eager_checkpoint(media_embeddings(media))
     sigs = _with_lsh_signatures(
         emb, "embedding", dim=_MEDIA_DIM, bits=_MEDIA_LSH_BITS,
         tables=_MEDIA_LSH_TABLES, prefix="sig",

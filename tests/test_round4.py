@@ -269,6 +269,75 @@ def test_decontaminate_default_matches_bigram_oracle(spark):
         assert got[c].tolist() == want[c].tolist(), c
 
 
+def _duck(sf):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    return con
+
+
+def test_minhash_pairs_oracle_models_the_cap(spark):
+    """When the hot-band cap BINDS, the oracle must agree — the cap is
+    interpolated from the same constant on both sides."""
+    from datashare_extension_neo4j_spark.queries import (
+        ORACLE_DEDUP_MINHASH_PAIRS,
+        dedup_minhash_pairs,
+    )
+
+    got = (
+        dedup_minhash_pairs(spark, SF_DIR, max_bucket=2)
+        .toPandas()
+        .sort_values(["docA", "docB"])
+        .reset_index(drop=True)
+    )
+    oracle = ORACLE_DEDUP_MINHASH_PAIRS.replace(
+        "HAVING count(*) <= 10000", "HAVING count(*) <= 2"
+    )
+    assert oracle != ORACLE_DEDUP_MINHASH_PAIRS, "cap not in oracle"
+    want = (
+        _duck(SF_DIR)
+        .execute(oracle)
+        .df()
+        .sort_values(["docA", "docB"])
+        .reset_index(drop=True)
+    )
+    assert got[["docA", "docB"]].values.tolist() == want[
+        ["docA", "docB"]
+    ].values.tolist()
+
+
+def test_ngram_jaccard_oracle_models_the_cap(spark):
+    from datashare_extension_neo4j_spark.queries import (
+        ORACLE_DEDUP_NGRAM_JACCARD,
+        dedup_ngram_jaccard,
+    )
+
+    got = (
+        dedup_ngram_jaccard(spark, SF_DIR, max_block=3)
+        .toPandas()
+        .sort_values(["docA", "docB"])
+        .reset_index(drop=True)
+    )
+    oracle = ORACLE_DEDUP_NGRAM_JACCARD.replace(
+        "HAVING count(*) <= 10000", "HAVING count(*) <= 3"
+    )
+    assert oracle != ORACLE_DEDUP_NGRAM_JACCARD, "cap not in oracle"
+    want = (
+        _duck(SF_DIR)
+        .execute(oracle)
+        .df()
+        .sort_values(["docA", "docB"])
+        .reset_index(drop=True)
+    )
+    assert got[["docA", "docB"]].values.tolist() == want[
+        ["docA", "docB"]
+    ].values.tolist()
+
+
 # ------------------------------------------------- cooccurrence cap
 
 
