@@ -15,6 +15,10 @@ locally. Subcommands:
                   (--distributed: executor-written multi-part package)
   dump            DSL JSON (or default query) → graphml/cypher dump
   stats           recompute the project-statistics singleton
+  dedup-assign    documents → near-dup keeper map parquet (the
+                  corpus-filter consumable)
+  decontaminate   documents → benchmark-contamination flags parquet
+                  (--n 13 = the standard check)
 """
 
 from __future__ import annotations
@@ -173,6 +177,41 @@ def cmd_verify_constraints(args) -> int:
     return 0
 
 
+def cmd_dedup_assign(args) -> int:
+    """Batch corpus-filter consumable: every doc_id mapped to its
+    near-dup keeper (MinHash-LSH pairs → connected components →
+    min-id keeper) plus an ``isKept`` flag, written as parquet — the
+    table a training pipeline joins against to drop duplicates."""
+    from .queries import dedup_minhash_assign
+
+    spark = _spark(args.master)
+    out = dedup_minhash_assign(spark, args.sf_dir)
+    out.write.mode("overwrite").parquet(args.out)
+    kept = spark.read.parquet(args.out)
+    n = kept.count()
+    n_kept = kept.where("isKept").count()
+    print(json.dumps({"rows": n, "kept": n_kept, "dropped": n - n_kept,
+                      "out": args.out}))
+    return 0
+
+
+def cmd_decontaminate(args) -> int:
+    """Batch benchmark-decontamination consumable: per-doc contaminated
+    shingle counts/fraction + flag, written as parquet. ``--n`` sets
+    the shingle width (13 = the standard web-scale check)."""
+    from .queries import decontaminate_ngram
+
+    spark = _spark(args.master)
+    out = decontaminate_ngram(spark, args.sf_dir, n=args.n)
+    out.write.mode("overwrite").parquet(args.out)
+    flagged = spark.read.parquet(args.out)
+    n = flagged.count()
+    n_bad = flagged.where("isContaminated").count()
+    print(json.dumps({"rows": n, "contaminated": n_bad, "n": args.n,
+                      "out": args.out}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="datashare_extension_neo4j_spark")
     p.add_argument("--master", default=None)
@@ -229,6 +268,20 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("stats")
     s.add_argument("--run-dir", required=True)
     s.set_defaults(fn=cmd_stats)
+
+    da = sub.add_parser("dedup-assign")
+    da.add_argument("--sf-dir", required=True,
+                    help="dir containing documents.parquet")
+    da.add_argument("--out", required=True)
+    da.set_defaults(fn=cmd_dedup_assign)
+
+    dc = sub.add_parser("decontaminate")
+    dc.add_argument("--sf-dir", required=True,
+                    help="dir containing documents.parquet")
+    dc.add_argument("--out", required=True)
+    dc.add_argument("--n", type=int, default=13,
+                    help="shingle width (13 = standard benchmark check)")
+    dc.set_defaults(fn=cmd_decontaminate)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -77,3 +77,23 @@ def test_cli_migrate_and_verify(spark, tmp_path, capsys):
     assert main(["verify-constraints", "--run-dir", run_dir]) == 1
     bad = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert bad["ok"] is False and "entities" in bad["violation"]
+
+
+def test_cli_corpus_filter_consumables(spark, tmp_path, capsys):
+    """dedup-assign and decontaminate write consumable parquet tables
+    and report counters; keeper semantics spot-checked."""
+    out1 = str(tmp_path / "keepers")
+    assert main(["dedup-assign", "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", out1]) == 0
+    c = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert c["rows"] == 500 and c["kept"] + c["dropped"] == 500
+    rows = spark.read.parquet(out1).collect()
+    kept_ids = {r["doc_id"] for r in rows if r["isKept"]}
+    # every keeper must itself be kept
+    assert {r["keepDocId"] for r in rows} <= kept_ids
+
+    out2 = str(tmp_path / "contam")
+    assert main(["decontaminate", "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", out2, "--n", "2"]) == 0
+    c2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert c2["rows"] == 475 and c2["n"] == 2
