@@ -1110,6 +1110,88 @@ GROUP BY a.entity, b.entity
 """
 
 
+def kg_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored entity linking (the north-star 'entity-link scoring'
+    stage): every mention ranked against candidate entities generated
+    by character-bigram blocking (bucket join, hot-bucket capped) and
+    scored jaccard(bigrams) · (1 + ln(1 + df)) — string similarity
+    times a document-frequency popularity prior; top-1 per mention
+    with deterministic ties. JVM-expression scoring by default; the
+    identical vectorized pandas-UDF scorer (the learned-model slot) is
+    asserted equal in tests/test_linking.py."""
+    from .operators.linking import link_mentions
+
+    return link_mentions(_mentions(spark, sf_dir))
+
+
+def _linking_oracle_sql() -> str:
+    """The bigram construction (^norm$ sliding window), the blocking
+    cap (interpolated from the same constant link_mentions defaults
+    to), and the score formula are mirrored exactly; df = distinct
+    docs."""
+    from .operators.linking import LINK_MAX_BIGRAM_BUCKET as _LINK_CAP
+
+    return _MENTIONS_CTE + f"""
+, bg AS (
+  SELECT DISTINCT mentionNorm AS norm, category,
+         unnest(list_distinct(list_transform(
+             generate_series(1, length('^' || mentionNorm || '$') - 1),
+             i -> substr('^' || mentionNorm || '$', CAST(i AS INT), 2)
+         ))) AS bg
+  FROM m
+), ents AS (
+  SELECT mentionNorm AS entNorm, category,
+         CAST(count(DISTINCT documentId) AS BIGINT) AS df
+  FROM m GROUP BY mentionNorm, category
+), kept AS (
+  SELECT category, bg FROM bg
+  GROUP BY category, bg HAVING count(*) <= {_LINK_CAP}
+), cand AS (
+  SELECT DISTINCT a.norm, a.category, b.norm AS entNorm
+  FROM bg a
+  JOIN bg b ON a.category = b.category AND a.bg = b.bg
+  JOIN kept k ON a.bg = k.bg AND a.category = k.category
+), scored AS (
+  SELECT c.norm, c.category, c.entNorm, e.df,
+         round(
+           len(list_intersect(
+               list_distinct(list_transform(
+                 generate_series(1, length('^' || c.norm || '$') - 1),
+                 i -> substr('^' || c.norm || '$', CAST(i AS INT), 2))),
+               list_distinct(list_transform(
+                 generate_series(1, length('^' || c.entNorm || '$') - 1),
+                 i -> substr('^' || c.entNorm || '$', CAST(i AS INT), 2)))
+           )) * 1.0 /
+           len(list_distinct(list_concat(
+               list_distinct(list_transform(
+                 generate_series(1, length('^' || c.norm || '$') - 1),
+                 i -> substr('^' || c.norm || '$', CAST(i AS INT), 2))),
+               list_distinct(list_transform(
+                 generate_series(1, length('^' || c.entNorm || '$') - 1),
+                 i -> substr('^' || c.entNorm || '$', CAST(i AS INT), 2)))
+           )))
+           * (1.0 + ln(1.0 + e.df)), 6) AS score
+  FROM cand c JOIN ents e
+    ON e.entNorm = c.entNorm AND e.category = c.category
+), best AS (
+  SELECT norm, category, entNorm, score FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY norm, category ORDER BY score DESC, entNorm ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT m.mention_id, m.documentId, m.mentionNorm, m.category,
+       sha256('(''' || b.entNorm || ''', ''' || m.category || ''')')
+         AS entityId,
+       b.entNorm AS linkedNorm, b.score
+FROM m JOIN best b
+  ON b.norm = m.mentionNorm AND b.category = m.category
+"""
+
+
+ORACLE_KG_ENTITY_LINKING = _linking_oracle_sql()
+
+
 _TFIDF_K = 3
 
 
@@ -2775,6 +2857,7 @@ QUERIES = {
     "decontaminate_ngram": (decontaminate_ngram, ORACLE_DECONTAMINATE_NGRAM),
     "vocab_stats": (vocab_stats, ORACLE_VOCAB_STATS),
     "kg_entity_pagerank": (kg_entity_pagerank, ORACLE_KG_ENTITY_PAGERANK),
+    "kg_entity_linking": (kg_entity_linking, ORACLE_KG_ENTITY_LINKING),
     "kg_entity_cooccurrence": (
         kg_entity_cooccurrence, ORACLE_KG_ENTITY_COOCCURRENCE,
     ),
