@@ -1110,6 +1110,77 @@ GROUP BY a.entity, b.entity
 """
 
 
+_COMMUNITY_MIN_SHARED = 2
+
+
+def kg_entity_communities(
+    spark: SparkSession, sf_dir: str,
+    min_shared_docs: int = _COMMUNITY_MIN_SHARED,
+) -> DataFrame:
+    """Entity communities — connected components over the co-occurrence
+    graph, keeping only edges with ≥ ``min_shared_docs`` shared
+    documents (weak one-off co-mentions pruned first). Community label
+    = lexicographic min entity key in the component; entities with no
+    strong edge are their own singleton community, so EVERY entity gets
+    a row (the consumable a KG browser or embedding-trainer groups by).
+
+    Scale shape: the threshold prunes the edge stream BEFORE the
+    iterative CC loop (web co-occurrence graphs are power-law — most
+    edges are weight-1 noise), and ``connected_components`` runs
+    hash-min + pointer jumping with per-round checkpoint rotation
+    (O(log diameter) rounds, O(1) executor storage — see
+    operators/graph_algos.py). The final singleton fill is one
+    left join on the entity key. Oracle: the same min-label components
+    via a DuckDB recursive CTE over the thresholded co-occurrence
+    oracle (threshold interpolated from the same constant)."""
+    from .operators.graph_algos import connected_components
+
+    edges = (
+        kg_entity_cooccurrence(spark, sf_dir)
+        .where(F.col("nSharedDocs") >= min_shared_docs)
+        .select("entityA", "entityB")
+    )
+    cc = connected_components(edges, "entityA", "entityB")
+    ents = (
+        _mentions(spark, sf_dir)
+        .select(
+            F.concat(
+                F.col("mentionNorm"), F.lit("/"), F.col("category")
+            ).alias("entity")
+        )
+        .distinct()
+    )
+    return ents.join(cc, ents.entity == cc.node, "left").select(
+        "entity",
+        F.coalesce(F.col("comp"), F.col("entity")).alias("community"),
+    )
+
+
+ORACLE_KG_ENTITY_COMMUNITIES = f"""
+WITH RECURSIVE cooc AS (
+  {ORACLE_KG_ENTITY_COOCCURRENCE}
+), strong AS (
+  SELECT entityA AS a, entityB AS b FROM cooc
+  WHERE nSharedDocs >= {_COMMUNITY_MIN_SHARED}
+), sym AS (
+  SELECT a, b FROM strong UNION SELECT b, a FROM strong
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), comp AS (
+  SELECT a, least(a, min(b)) AS comp FROM reach GROUP BY a
+), ents AS (
+  SELECT DISTINCT entity FROM (
+    {_MENTIONS_CTE}
+    SELECT mentionNorm || '/' || category AS entity FROM m
+  ) t
+)
+SELECT e.entity, coalesce(c.comp, e.entity) AS community
+FROM ents e LEFT JOIN comp c ON c.a = e.entity
+"""
+
+
 def kg_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scored entity linking (the north-star 'entity-link scoring'
     stage): every mention ranked against candidate entities generated
@@ -2858,6 +2929,9 @@ QUERIES = {
     "vocab_stats": (vocab_stats, ORACLE_VOCAB_STATS),
     "kg_entity_pagerank": (kg_entity_pagerank, ORACLE_KG_ENTITY_PAGERANK),
     "kg_entity_linking": (kg_entity_linking, ORACLE_KG_ENTITY_LINKING),
+    "kg_entity_communities": (
+        kg_entity_communities, ORACLE_KG_ENTITY_COMMUNITIES,
+    ),
     "kg_entity_cooccurrence": (
         kg_entity_cooccurrence, ORACLE_KG_ENTITY_COOCCURRENCE,
     ),
