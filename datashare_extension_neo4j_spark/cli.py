@@ -19,6 +19,9 @@ locally. Subcommands:
                   corpus-filter consumable)
   decontaminate   documents → benchmark-contamination flags parquet
                   (--n 13 = the standard check)
+  link            store mentions → scored entity-link parquet
+                  (bigram-blocked candidates, jaccard × popularity
+                  prior; --kb links against an external entity KB)
 """
 
 from __future__ import annotations
@@ -212,6 +215,34 @@ def cmd_decontaminate(args) -> int:
     return 0
 
 
+def cmd_link(args) -> int:
+    """Scored entity-linking consumable: the store's mention table
+    linked to its best-scored candidate entity (character-bigram
+    blocked, jaccard × ln-df popularity prior — operators/linking.py),
+    written as parquet. ``--kb`` points at an external entity KB
+    parquet (entNorm, category, df) to resolve noisy surface forms
+    against canonical entities; default derives the entity set from
+    the mention stream itself (exact surface forms self-link, the
+    reference's exact-key behavior)."""
+    from .operators.linking import link_mentions
+
+    spark = _spark(args.master)
+    m = (
+        spark.read.parquet(f"{args.run_dir}/mentions")
+        .withColumnRenamed("id", "mention_id")
+        .select("mention_id", "documentId", "mentionNorm", "category")
+    )
+    kb = spark.read.parquet(args.kb) if args.kb else None
+    out = link_mentions(m, entities=kb)
+    out.write.mode("overwrite").parquet(args.out)
+    linked = spark.read.parquet(args.out)
+    n = linked.count()
+    n_exact = linked.where("mentionNorm = linkedNorm").count()
+    print(json.dumps({"rows": n, "exact": n_exact,
+                      "fuzzy": n - n_exact, "out": args.out}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="datashare_extension_neo4j_spark")
     p.add_argument("--master", default=None)
@@ -282,6 +313,14 @@ def main(argv: list[str] | None = None) -> int:
     dc.add_argument("--n", type=int, default=13,
                     help="shingle width (13 = standard benchmark check)")
     dc.set_defaults(fn=cmd_decontaminate)
+
+    lk = sub.add_parser("link")
+    lk.add_argument("--run-dir", required=True)
+    lk.add_argument("--out", required=True)
+    lk.add_argument("--kb", default=None,
+                    help="external KB parquet (entNorm, category, df);"
+                    " default: entities self-derived from mentions")
+    lk.set_defaults(fn=cmd_link)
 
     args = p.parse_args(argv)
     return args.fn(args)

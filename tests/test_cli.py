@@ -50,6 +50,16 @@ def test_cli_full_cycle(spark, tmp_path, capsys):
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert st  # singleton written and echoed
 
+    # scored entity-link consumable over the store's mention table:
+    # self-derived entities → every exact surface form self-links
+    lk = str(tmp_path / "links")
+    assert main(["link", "--run-dir", run_dir, "--out", lk]) == 0
+    lj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert lj["rows"] > 0 and lj["fuzzy"] == 0
+    linked = spark.read.parquet(lk)
+    assert linked.where("mentionNorm != linkedNorm").count() == 0
+    assert linked.where("entityId is null or score is null").count() == 0
+
 
 def test_cli_migrate_and_verify(spark, tmp_path, capsys):
     pages = reference_pages(spark, n_docs=4)
