@@ -221,9 +221,14 @@ def cmd_link(args) -> int:
     blocked, jaccard × ln-df popularity prior — operators/linking.py),
     written as parquet. ``--kb`` points at an external entity KB
     parquet (entNorm, category, df) to resolve noisy surface forms
-    against canonical entities; default derives the entity set from
-    the mention stream itself (exact surface forms self-link, the
-    reference's exact-key behavior)."""
+    against canonical entities; ``--kb-store`` derives the KB from the
+    store's own APPEARS_IN table (one row per entity-doc pair, so the
+    row count per entity IS its document frequency — the canonical
+    popularity prior for linking later mention batches); default
+    derives the entity set from the mention stream itself (exact
+    surface forms self-link, the reference's exact-key behavior)."""
+    from pyspark.sql import functions as F
+
     from .operators.linking import link_mentions
 
     spark = _spark(args.master)
@@ -232,7 +237,16 @@ def cmd_link(args) -> int:
         .withColumnRenamed("id", "mention_id")
         .select("mention_id", "documentId", "mentionNorm", "category")
     )
-    kb = spark.read.parquet(args.kb) if args.kb else None
+    if args.kb_store:
+        kb = (
+            spark.read.parquet(f"{args.run_dir}/appears_in")
+            .groupBy(F.col("mentionNorm").alias("entNorm"), "category")
+            .agg(F.count("*").cast("long").alias("df"))
+        )
+    elif args.kb:
+        kb = spark.read.parquet(args.kb)
+    else:
+        kb = None
     out = link_mentions(m, entities=kb)
     out.write.mode("overwrite").parquet(args.out)
     linked = spark.read.parquet(args.out)
@@ -320,6 +334,9 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--kb", default=None,
                     help="external KB parquet (entNorm, category, df);"
                     " default: entities self-derived from mentions")
+    lk.add_argument("--kb-store", action="store_true",
+                    help="derive the KB from the store's APPEARS_IN "
+                    "table (df = per-entity doc count)")
     lk.set_defaults(fn=cmd_link)
 
     args = p.parse_args(argv)

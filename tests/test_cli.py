@@ -60,6 +60,14 @@ def test_cli_full_cycle(spark, tmp_path, capsys):
     assert linked.where("mentionNorm != linkedNorm").count() == 0
     assert linked.where("entityId is null or score is null").count() == 0
 
+    # store-derived KB (df from APPEARS_IN): same mention set → still
+    # all exact self-links, same row count
+    lk2 = str(tmp_path / "links_store_kb")
+    assert main(["link", "--run-dir", run_dir, "--out", lk2,
+                 "--kb-store"]) == 0
+    lj2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert lj2["rows"] == lj["rows"] and lj2["fuzzy"] == 0
+
 
 def test_cli_migrate_and_verify(spark, tmp_path, capsys):
     pages = reference_pages(spark, n_docs=4)
