@@ -1263,6 +1263,126 @@ FROM m JOIN best b
 ORACLE_KG_ENTITY_LINKING = _linking_oracle_sql()
 
 
+def kg_linked_appears_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linking as a PIPELINE STAGE, not just a per-mention consumable:
+    a deterministically noised mention stream (every 7th-offset
+    mention gets a trailing 'x' — an unseen surface form) is linked
+    against the CLEAN entity KB and the resolved links are aggregated
+    into APPEARS_IN edges. Because every typo resolves back to its
+    clean entity, the output equals the clean ``kg_appears_in``
+    aggregate (asserted by test_linked_appears_in_roundtrip) — the
+    noisy-web-text path the north star's 'entity-link scoring'
+    exists for.
+
+    Scale shape: linking is vocab-cardinality work (bigram-blocked
+    bucket join, see operators/linking.py); only the final
+    occurrence-level join + one aggregation touch the full mention
+    stream."""
+    from .operators.linking import link_mentions
+
+    m = _mentions(spark, sf_dir)
+    noisy = m.select(
+        "mention_id", "documentId", "category",
+        F.when(
+            F.col("offset") % 7 == 0,
+            F.concat(F.col("mentionNorm"), F.lit("x")),
+        ).otherwise(F.col("mentionNorm")).alias("mentionNorm"),
+    )
+    kb = m.groupBy(
+        F.col("mentionNorm").alias("entNorm"), "category"
+    ).agg(F.countDistinct("documentId").cast("long").alias("df"))
+    linked = link_mentions(noisy, entities=kb)
+    return (
+        linked.groupBy("linkedNorm", "category", "documentId")
+        .agg(
+            F.countDistinct("mention_id").cast("long").alias("mentionCount")
+        )
+        .select(
+            entity_id(F.col("linkedNorm"), F.col("category")).alias(
+                "startId"
+            ),
+            F.col("documentId").alias("endId"),
+            F.lit("APPEARS_IN").alias("type"),
+            "linkedNorm",
+            "category",
+            "mentionCount",
+        )
+    )
+
+
+def _duck_bigrams(expr: str) -> str:
+    """DuckDB SQL for the distinct boundary-marked character bigrams
+    of ``expr`` — mirrors operators/linking.char_bigrams."""
+    s = f"'^' || {expr} || '$'"
+    return (
+        f"list_distinct(list_transform(generate_series(1, length({s}) - 1), "
+        f"i -> substr({s}, CAST(i AS INT), 2)))"
+    )
+
+
+def _linked_appears_oracle_sql() -> str:
+    """Noise injection, clean-KB linking (entity-side blocking cap),
+    and the APPEARS_IN aggregation, all mirrored."""
+    from .operators.linking import LINK_MAX_BIGRAM_BUCKET as _LINK_CAP
+
+    return _MENTIONS_CTE + f"""
+, noisy AS (
+  SELECT mention_id, documentId, category,
+         CASE WHEN "offset" % 7 = 0 THEN mentionNorm || 'x'
+              ELSE mentionNorm END AS mentionNorm
+  FROM m
+), ents AS (
+  SELECT mentionNorm AS entNorm, category,
+         CAST(count(DISTINCT documentId) AS BIGINT) AS df
+  FROM m GROUP BY mentionNorm, category
+), nn AS (
+  SELECT DISTINCT mentionNorm AS norm, category FROM noisy
+), nbg AS (
+  SELECT norm, category, unnest({_duck_bigrams('norm')}) AS bg FROM nn
+), ebg AS (
+  SELECT entNorm, category, unnest({_duck_bigrams('entNorm')}) AS bg
+  FROM ents
+), kept AS (
+  SELECT category, bg FROM ebg GROUP BY category, bg
+  HAVING count(*) <= {_LINK_CAP}
+), cand AS (
+  SELECT DISTINCT n.norm, n.category, e.entNorm
+  FROM nbg n
+  JOIN ebg e ON n.category = e.category AND n.bg = e.bg
+  JOIN kept k ON e.bg = k.bg AND e.category = k.category
+), scored AS (
+  SELECT c.norm, c.category, c.entNorm,
+         round(
+           len(list_intersect({_duck_bigrams('c.norm')},
+                              {_duck_bigrams('c.entNorm')})) * 1.0 /
+           len(list_distinct(list_concat({_duck_bigrams('c.norm')},
+                                         {_duck_bigrams('c.entNorm')})))
+           * (1.0 + ln(1.0 + e.df)), 6) AS score
+  FROM cand c JOIN ents e
+    ON e.entNorm = c.entNorm AND e.category = c.category
+), best AS (
+  SELECT norm, category, entNorm FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY norm, category ORDER BY score DESC, entNorm ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT sha256('(''' || b.entNorm || ''', ''' || n.category || ''')')
+         AS startId,
+       n.documentId AS endId,
+       'APPEARS_IN' AS type,
+       b.entNorm AS linkedNorm,
+       n.category,
+       CAST(count(DISTINCT n.mention_id) AS BIGINT) AS mentionCount
+FROM noisy n JOIN best b
+  ON b.norm = n.mentionNorm AND b.category = n.category
+GROUP BY b.entNorm, n.category, n.documentId
+"""
+
+
+ORACLE_KG_LINKED_APPEARS_IN = _linked_appears_oracle_sql()
+
+
 _TFIDF_K = 3
 
 
@@ -2929,6 +3049,9 @@ QUERIES = {
     "vocab_stats": (vocab_stats, ORACLE_VOCAB_STATS),
     "kg_entity_pagerank": (kg_entity_pagerank, ORACLE_KG_ENTITY_PAGERANK),
     "kg_entity_linking": (kg_entity_linking, ORACLE_KG_ENTITY_LINKING),
+    "kg_linked_appears_in": (
+        kg_linked_appears_in, ORACLE_KG_LINKED_APPEARS_IN,
+    ),
     "kg_entity_communities": (
         kg_entity_communities, ORACLE_KG_ENTITY_COMMUNITIES,
     ),

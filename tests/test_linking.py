@@ -99,6 +99,61 @@ def test_linking_cap_binds_consistently(spark):
     assert got["linkedNorm"].tolist() == want["linkedNorm"].tolist()
 
 
+def test_linked_appears_in_roundtrip(spark):
+    """Typo-injected mentions linked against the clean KB must
+    aggregate back to EXACTLY the clean APPEARS_IN edges — linking
+    undoes the noise."""
+    from pyspark.sql import functions as F
+
+    from datashare_extension_neo4j_spark.queries import (
+        kg_appears_in,
+        kg_linked_appears_in,
+    )
+
+    got = sorted(
+        (r["linkedNorm"], r["endId"], r["category"], r["mentionCount"])
+        for r in kg_linked_appears_in(spark, SF_DIR).collect()
+    )
+    clean = sorted(
+        (r["mentionNorm"], r["endId"], r["category"], r["mentionCount"])
+        for r in kg_appears_in(spark, SF_DIR)
+        .select("mentionNorm", "endId", "category", "mentionCount")
+        .collect()
+    )
+    assert got == clean and len(got) > 0
+    # the noise is real: the noisy stream contains surface forms the
+    # clean KB does not
+    from datashare_extension_neo4j_spark.queries import _mentions
+
+    m = _mentions(spark, SF_DIR)
+    n_noised = m.where(F.col("offset") % 7 == 0).count()
+    assert n_noised > 0
+
+
+def test_linked_appears_in_oracle_parity(spark):
+    from datashare_extension_neo4j_spark.queries import (
+        ORACLE_KG_LINKED_APPEARS_IN,
+        kg_linked_appears_in,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in kg_linked_appears_in(spark, SF_DIR)
+        .select(
+            "startId", "endId", "type", "linkedNorm", "category",
+            "mentionCount",
+        )
+        .collect()
+    )
+    want = sorted(
+        map(
+            tuple,
+            _duck().execute(ORACLE_KG_LINKED_APPEARS_IN).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
 def test_near_miss_surface_form_links_to_closest_entity(spark):
     """Against an external KB (the real linking setup), a misspelled
     mention must link to the bigram-closest canonical entity of the
