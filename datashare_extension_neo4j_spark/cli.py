@@ -251,9 +251,11 @@ def cmd_link(args) -> int:
     out.write.mode("overwrite").parquet(args.out)
     linked = spark.read.parquet(args.out)
     n = linked.count()
+    n_nil = linked.where("linkedNorm is null").count()
     n_exact = linked.where("mentionNorm = linkedNorm").count()
     print(json.dumps({"rows": n, "exact": n_exact,
-                      "fuzzy": n - n_exact, "out": args.out}))
+                      "fuzzy": n - n_exact - n_nil, "unlinked": n_nil,
+                      "out": args.out}))
     return 0
 
 
@@ -331,12 +333,14 @@ def main(argv: list[str] | None = None) -> int:
     lk = sub.add_parser("link")
     lk.add_argument("--run-dir", required=True)
     lk.add_argument("--out", required=True)
-    lk.add_argument("--kb", default=None,
-                    help="external KB parquet (entNorm, category, df);"
-                    " default: entities self-derived from mentions")
-    lk.add_argument("--kb-store", action="store_true",
-                    help="derive the KB from the store's APPEARS_IN "
-                    "table (df = per-entity doc count)")
+    lk_kb = lk.add_mutually_exclusive_group()
+    lk_kb.add_argument("--kb", default=None,
+                       help="external KB parquet (entNorm, category, "
+                       "df); default: entities self-derived from "
+                       "mentions")
+    lk_kb.add_argument("--kb-store", action="store_true",
+                       help="derive the KB from the store's APPEARS_IN"
+                       " table (df = per-entity doc count)")
     lk.set_defaults(fn=cmd_link)
 
     args = p.parse_args(argv)

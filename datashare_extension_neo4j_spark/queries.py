@@ -1195,20 +1195,30 @@ def kg_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_mentions(_mentions(spark, sf_dir))
 
 
+def _duck_bigrams(expr: str) -> str:
+    """DuckDB SQL for the distinct boundary-marked character bigrams
+    of ``expr`` — mirrors operators/linking.char_bigrams. ONE source
+    of truth for every linking oracle (the expansion appears many
+    times per oracle and must stay mirror-exact)."""
+    s = f"'^' || {expr} || '$'"
+    return (
+        f"list_distinct(list_transform(generate_series(1, length({s}) - 1), "
+        f"i -> substr({s}, CAST(i AS INT), 2)))"
+    )
+
+
 def _linking_oracle_sql() -> str:
     """The bigram construction (^norm$ sliding window), the blocking
     cap (interpolated from the same constant link_mentions defaults
     to), and the score formula are mirrored exactly; df = distinct
-    docs."""
+    docs. LEFT join at the end: a mention with no surviving candidate
+    keeps its row with a null link (NIL), matching link_mentions."""
     from .operators.linking import LINK_MAX_BIGRAM_BUCKET as _LINK_CAP
 
     return _MENTIONS_CTE + f"""
 , bg AS (
   SELECT DISTINCT mentionNorm AS norm, category,
-         unnest(list_distinct(list_transform(
-             generate_series(1, length('^' || mentionNorm || '$') - 1),
-             i -> substr('^' || mentionNorm || '$', CAST(i AS INT), 2)
-         ))) AS bg
+         unnest({_duck_bigrams('mentionNorm')}) AS bg
   FROM m
 ), ents AS (
   SELECT mentionNorm AS entNorm, category,
@@ -1225,22 +1235,10 @@ def _linking_oracle_sql() -> str:
 ), scored AS (
   SELECT c.norm, c.category, c.entNorm, e.df,
          round(
-           len(list_intersect(
-               list_distinct(list_transform(
-                 generate_series(1, length('^' || c.norm || '$') - 1),
-                 i -> substr('^' || c.norm || '$', CAST(i AS INT), 2))),
-               list_distinct(list_transform(
-                 generate_series(1, length('^' || c.entNorm || '$') - 1),
-                 i -> substr('^' || c.entNorm || '$', CAST(i AS INT), 2)))
-           )) * 1.0 /
-           len(list_distinct(list_concat(
-               list_distinct(list_transform(
-                 generate_series(1, length('^' || c.norm || '$') - 1),
-                 i -> substr('^' || c.norm || '$', CAST(i AS INT), 2))),
-               list_distinct(list_transform(
-                 generate_series(1, length('^' || c.entNorm || '$') - 1),
-                 i -> substr('^' || c.entNorm || '$', CAST(i AS INT), 2)))
-           )))
+           len(list_intersect({_duck_bigrams('c.norm')},
+                              {_duck_bigrams('c.entNorm')})) * 1.0 /
+           len(list_distinct(list_concat({_duck_bigrams('c.norm')},
+                                         {_duck_bigrams('c.entNorm')})))
            * (1.0 + ln(1.0 + e.df)), 6) AS score
   FROM cand c JOIN ents e
     ON e.entNorm = c.entNorm AND e.category = c.category
@@ -1255,7 +1253,7 @@ SELECT m.mention_id, m.documentId, m.mentionNorm, m.category,
        sha256('(''' || b.entNorm || ''', ''' || m.category || ''')')
          AS entityId,
        b.entNorm AS linkedNorm, b.score
-FROM m JOIN best b
+FROM m LEFT JOIN best b
   ON b.norm = m.mentionNorm AND b.category = m.category
 """
 
@@ -1293,7 +1291,12 @@ def kg_linked_appears_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.countDistinct("documentId").cast("long").alias("df"))
     linked = link_mentions(noisy, entities=kb)
     return (
-        linked.groupBy("linkedNorm", "category", "documentId")
+        # NIL links (null linkedNorm) are dropped EXPLICITLY here: an
+        # APPEARS_IN edge needs an entity endpoint. link_mentions
+        # itself keeps NIL rows (left join) so the drop is this
+        # query's documented decision, not a silent operator loss.
+        linked.where(F.col("linkedNorm").isNotNull())
+        .groupBy("linkedNorm", "category", "documentId")
         .agg(
             F.countDistinct("mention_id").cast("long").alias("mentionCount")
         )
@@ -1307,16 +1310,6 @@ def kg_linked_appears_in(spark: SparkSession, sf_dir: str) -> DataFrame:
             "category",
             "mentionCount",
         )
-    )
-
-
-def _duck_bigrams(expr: str) -> str:
-    """DuckDB SQL for the distinct boundary-marked character bigrams
-    of ``expr`` — mirrors operators/linking.char_bigrams."""
-    s = f"'^' || {expr} || '$'"
-    return (
-        f"list_distinct(list_transform(generate_series(1, length({s}) - 1), "
-        f"i -> substr({s}, CAST(i AS INT), 2)))"
     )
 
 

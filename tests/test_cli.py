@@ -55,7 +55,7 @@ def test_cli_full_cycle(spark, tmp_path, capsys):
     lk = str(tmp_path / "links")
     assert main(["link", "--run-dir", run_dir, "--out", lk]) == 0
     lj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert lj["rows"] > 0 and lj["fuzzy"] == 0
+    assert lj["rows"] > 0 and lj["fuzzy"] == 0 and lj["unlinked"] == 0
     linked = spark.read.parquet(lk)
     assert linked.where("mentionNorm != linkedNorm").count() == 0
     assert linked.where("entityId is null or score is null").count() == 0

@@ -169,6 +169,7 @@ def test_near_miss_surface_form_links_to_closest_entity(spark):
             ("m2", "doc-2", "acme corp", "ORG"),
             ("m3", "doc-3", "acme cort", "ORG"),  # typo variant
             ("m4", "doc-4", "zzz inc", "ORG"),
+            ("m5", "doc-5", "someone", "PERSON"),  # category not in KB
         ],
         "mention_id string, documentId string, mentionNorm string,"
         " category string",
@@ -184,8 +185,29 @@ def test_near_miss_surface_form_links_to_closest_entity(spark):
     assert out["m1"] == "acme corp"
     assert out["m3"] == "acme corp"  # typo resolves to the canonical
     assert out["m4"] == "zzz inc"
+    # no ORG candidate for a PERSON mention → NIL row, not a drop
+    assert "m5" in out and out["m5"] is None
     # self-derived entities: every exact surface form self-links
     self_out = {
         r["mention_id"]: r["linkedNorm"] for r in link_mentions(m).collect()
     }
     assert self_out["m3"] == "acme cort"
+
+    # a null-df KB row (arbitrary user parquet) must not crash either
+    # scorer, must score null, and both paths must still agree
+    kb_null = kb.unionByName(
+        spark.createDataFrame(
+            [("acme corpse", "ORG", None)],
+            "entNorm string, category string, df long",
+        )
+    )
+    col_rows = {
+        r["mention_id"]: (r["linkedNorm"], r["score"])
+        for r in link_mentions(m, entities=kb_null).collect()
+    }
+    udf_rows = {
+        r["mention_id"]: (r["linkedNorm"], r["score"])
+        for r in link_mentions(m, entities=kb_null, scorer="udf").collect()
+    }
+    assert col_rows == udf_rows
+    assert col_rows["m1"][0] == "acme corp"  # null-df row never wins
