@@ -1762,6 +1762,124 @@ WHERE round(i.i / (sa.sz + sb.sz - i.i), 6) >= 0.3
 """
 
 
+_SUBSTR_K = 5  # tokens per shingle (test-scale width; the standard
+# Lee-et-al. exact-substring dedup runs ~50 — pass k to scale up,
+# the oracle interpolates the same constant)
+
+
+def dedup_substring_spans(
+    spark: SparkSession, sf_dir: str, k: int = _SUBSTR_K
+) -> DataFrame:
+    """Exact substring-span deduplication (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): every k-token window
+    that occurs ≥2 times ANYWHERE in the corpus (cross-doc or repeated
+    within one doc) marks its token span; overlapping/adjacent marked
+    spans merge per document into maximal removal intervals — the
+    (doc_id, span_start, span_end) consumable a training pipeline cuts
+    out of the text, the standard complement to document-level MinHash.
+
+    Scale shape: windows are hashed to 64-bit (xxhash64) so only
+    8-byte keys shuffle; the duplicate test is ONE count aggregation
+    on the hash (map-side partial combine) + a semi join back — no
+    pair explosion anywhere, degenerate boilerplate shingles cost
+    count-agg rows, never pairs. The span merge is a per-doc window
+    (running max of covered-end), partitioned on doc_id — the semantic
+    minimum. Oracle: identical construction over shingle STRINGS
+    (DuckDB lacks xxhash64; collision odds ~1e-10, the
+    decontaminate_ngram discipline)."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    tk = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(tk) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - k),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.xxhash64(F.array_join(F.slice(tk, i + 1, k), " ")).alias(
+                    "h"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:long,h:bigint>>"))
+    sh = d.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
+    )
+    dup = sh.groupBy("h").agg(F.count("*").alias("_n")).where(
+        F.col("_n") >= 2
+    )
+    hits = sh.join(dup.select("h"), "h", "left_semi")
+    w_prev = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    marked = hits.withColumn(
+        "_new",
+        (
+            F.col("pos")
+            > F.coalesce(
+                F.max(F.col("pos") + k).over(w_prev), F.lit(-1)
+            )
+        ).cast("int"),
+    ).withColumn("_island", F.sum("_new").over(w_run))
+    return (
+        marked.groupBy("doc_id", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
+        )
+    )
+
+
+ORACLE_DEDUP_SUBSTRING_SPANS = f"""
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), idx AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, len(t) - {_SUBSTR_K} + 1)) AS i
+  FROM tk WHERE len(t) >= {_SUBSTR_K}
+), sh AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(t[i:i + {_SUBSTR_K} - 1], ' ') AS g
+  FROM idx
+), dup AS (
+  SELECT g FROM sh GROUP BY g HAVING count(*) >= 2
+), hits AS (
+  SELECT s.doc_id, s.pos FROM sh s JOIN dup d ON s.g = d.g
+), marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + {_SUBSTR_K}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS is_new
+  FROM hits
+), isl AS (
+  SELECT doc_id, pos,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_SUBSTR_K} AS BIGINT) AS span_end,
+       CAST(max(pos) + {_SUBSTR_K} - min(pos) AS BIGINT) AS n_tokens
+FROM isl GROUP BY doc_id, island
+"""
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality signals: type-token ratio, stopword ratio, mean
     token length, short-doc flag — integer-exact ratios rounded 6dp."""
@@ -3057,6 +3175,9 @@ QUERIES = {
     ),
     "dedup_simhash": (dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD),
+    "dedup_substring_spans": (
+        dedup_substring_spans, ORACLE_DEDUP_SUBSTRING_SPANS,
+    ),
     "quality_score": (quality_score, ORACLE_QUALITY_SCORE),
     "events_sessionize": (events_sessionize, ORACLE_EVENTS_SESSIONIZE),
     "events_funnel": (events_funnel, ORACLE_EVENTS_FUNNEL),

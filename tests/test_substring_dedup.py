@@ -1,0 +1,84 @@
+"""Exact substring-span dedup (dedup_substring_spans): island-merge
+semantics on synthetic corpora plus sf0.001 oracle parity.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+
+def _write_docs(spark, tmp_path, rows):
+    path = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{path}/documents.parquet"
+    )
+    return path
+
+
+def _spans(spark, sf):
+    from datashare_extension_neo4j_spark.queries import (
+        dedup_substring_spans,
+    )
+
+    return sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"])
+        for r in dedup_substring_spans(spark, sf).collect()
+    )
+
+
+def test_cross_doc_shared_run_marks_merged_span(spark, tmp_path):
+    """A 7-token run shared by two docs yields ONE merged span per doc
+    covering exactly the shared tokens (overlapping windows merge)."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "u1 u2 s1 s2 s3 s4 s5 s6 s7 u3"),
+            (2, "s1 s2 s3 s4 s5 s6 s7 v1 v2"),
+        ],
+    )
+    assert _spans(spark, sf) == [(1, 2, 9, 7), (2, 0, 7, 7)]
+
+
+def test_intra_doc_repeat_marks_both_occurrences(spark, tmp_path):
+    """count(*)>=2 includes repeats WITHIN one document: a phrase
+    occurring twice in the same doc marks two separate islands."""
+    sf = _write_docs(
+        spark, tmp_path, [(3, "a b c d e x a b c d e")]
+    )
+    assert _spans(spark, sf) == [(3, 0, 5, 5), (3, 6, 11, 5)]
+
+
+def test_identical_docs_merge_to_one_full_span(spark, tmp_path):
+    """Fully duplicated docs: every window duplicates, adjacent and
+    overlapping windows collapse into one whole-doc span each."""
+    text = "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10"
+    sf = _write_docs(spark, tmp_path, [(4, text), (5, text)])
+    assert _spans(spark, sf) == [(4, 0, 10, 10), (5, 0, 10, 10)]
+
+
+def test_short_and_unique_docs_emit_nothing(spark, tmp_path):
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(6, "q r s"), (7, "w1 w2 w3 w4 w5 w6"), (8, "z1 z2 z3 z4 z5")],
+    )
+    assert _spans(spark, sf) == []
+
+
+def test_substring_spans_oracle_parity(spark):
+    from datashare_extension_neo4j_spark.queries import (
+        ORACLE_DEDUP_SUBSTRING_SPANS,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = _spans(spark, sf)
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = sorted(
+        map(tuple, con.execute(ORACLE_DEDUP_SUBSTRING_SPANS).fetchall())
+    )
+    assert got == want and len(got) > 0
