@@ -1880,6 +1880,84 @@ FROM isl GROUP BY doc_id, island
 """
 
 
+def dedup_substring_apply(
+    spark: SparkSession, sf_dir: str, k: int = _SUBSTR_K
+) -> DataFrame:
+    """The REWRITE step of exact substring dedup: every document with
+    its marked spans cut out (all marked occurrences removed — the
+    conservative policy; keep-one-copy would need a canonical-
+    occurrence election on top) plus the removed-token count. Docs
+    with no spans pass through unchanged — the full-corpus consumable
+    a training pipeline writes back.
+
+    Scale shape: spans per doc are collected into an in-row array
+    (spans are merged maximal intervals, bounded by text length /
+    k-token granularity — row-local data, not a skew risk) and the cut
+    is a single higher-order-function projection over the token array:
+    one join on doc_id, zero extra shuffles beyond the span
+    derivation."""
+    d = _docs(spark, sf_dir)
+    spans = (
+        dedup_substring_spans(spark, sf_dir, k=k)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_end").alias("e"),
+                )
+            ).alias("_sp")
+        )
+    )
+    tk = F.split(F.col("text"), " ")
+    sp = F.coalesce(
+        F.col("_sp"), F.array().cast("array<struct<s:long,e:long>>")
+    )
+    kept = F.filter(
+        F.transform(
+            tk, lambda t, i: F.struct(t.alias("t"), i.cast("long").alias("i"))
+        ),
+        lambda x: ~F.exists(
+            sp, lambda b: (x["i"] >= b["s"]) & (x["i"] < b["e"])
+        ),
+    )
+    return d.join(spans, "doc_id", "left").select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda x: x["t"]), " ").alias(
+            "cleaned_text"
+        ),
+        (F.size(tk) - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
+ORACLE_DEDUP_SUBSTRING_APPLY = f"""
+WITH spans AS (
+  {ORACLE_DEDUP_SUBSTRING_SPANS}
+), tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+), kept AS (
+  SELECT doc_id, t, pos FROM tok
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tok.doc_id
+      AND tok.pos >= s.span_start AND tok.pos < s.span_end
+  )
+)
+SELECT d.doc_id,
+       coalesce(kk.cleaned_text, '') AS cleaned_text,
+       CAST(len(string_split(d.text, ' ')) - coalesce(kk.n_kept, 0)
+            AS BIGINT) AS n_removed
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS cleaned_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+) kk ON kk.doc_id = d.doc_id
+"""
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality signals: type-token ratio, stopword ratio, mean
     token length, short-doc flag — integer-exact ratios rounded 6dp."""
@@ -3177,6 +3255,9 @@ QUERIES = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD),
     "dedup_substring_spans": (
         dedup_substring_spans, ORACLE_DEDUP_SUBSTRING_SPANS,
+    ),
+    "dedup_substring_apply": (
+        dedup_substring_apply, ORACLE_DEDUP_SUBSTRING_APPLY,
     ),
     "quality_score": (quality_score, ORACLE_QUALITY_SCORE),
     "events_sessionize": (events_sessionize, ORACLE_EVENTS_SESSIONIZE),

@@ -66,6 +66,36 @@ def test_short_and_unique_docs_emit_nothing(spark, tmp_path):
     assert _spans(spark, sf) == []
 
 
+def test_apply_cuts_marked_spans_keeps_rest(spark, tmp_path):
+    from datashare_extension_neo4j_spark.queries import (
+        dedup_substring_apply,
+    )
+
+    text = "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "u1 u2 s1 s2 s3 s4 s5 s6 s7 u3"),
+            (2, "s1 s2 s3 s4 s5 s6 s7 v1 v2"),
+            (4, text),
+            (5, text),
+            (6, "q r s"),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["cleaned_text"], r["n_removed"])
+        for r in dedup_substring_apply(spark, sf).collect()
+    }
+    assert out[1] == ("u1 u2 u3", 7)
+    assert out[2] == ("v1 v2", 7)
+    # fully-duplicated docs: everything cut (conservative both-copies
+    # policy), empty cleaned text
+    assert out[4] == ("", 10) and out[5] == ("", 10)
+    # short doc with no shingles passes through untouched
+    assert out[6] == ("q r s", 0)
+
+
 def test_substring_spans_oracle_parity(spark):
     from datashare_extension_neo4j_spark.queries import (
         ORACLE_DEDUP_SUBSTRING_SPANS,
