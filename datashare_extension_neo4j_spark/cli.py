@@ -22,6 +22,8 @@ locally. Subcommands:
   link            store mentions → scored entity-link parquet
                   (bigram-blocked candidates, jaccard × popularity
                   prior; --kb links against an external entity KB)
+  cut-substrings  documents → substring-deduped corpus parquet
+                  (Lee-et-al. repeated k-token spans cut from text)
 """
 
 from __future__ import annotations
@@ -259,6 +261,26 @@ def cmd_link(args) -> int:
     return 0
 
 
+def cmd_cut_substrings(args) -> int:
+    """Batch substring-dedup consumable: every document with repeated
+    k-token spans cut out (``--k`` sets the window width; ~50 is the
+    Lee-et-al. standard, small k only for tiny-vocab corpora), written
+    as parquet with per-doc removed-token counts."""
+    from .queries import dedup_substring_apply
+
+    spark = _spark(args.master)
+    out = dedup_substring_apply(spark, args.sf_dir, k=args.k)
+    out.write.mode("overwrite").parquet(args.out)
+    cleaned = spark.read.parquet(args.out)
+    n = cleaned.count()
+    n_touched = cleaned.where("n_removed > 0").count()
+    removed = cleaned.agg({"n_removed": "sum"}).collect()[0][0] or 0
+    print(json.dumps({"rows": n, "touched": n_touched,
+                      "tokens_removed": int(removed), "k": args.k,
+                      "out": args.out}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="datashare_extension_neo4j_spark")
     p.add_argument("--master", default=None)
@@ -333,6 +355,14 @@ def main(argv: list[str] | None = None) -> int:
     lk = sub.add_parser("link")
     lk.add_argument("--run-dir", required=True)
     lk.add_argument("--out", required=True)
+    cs = sub.add_parser("cut-substrings")
+    cs.add_argument("--sf-dir", required=True,
+                    help="dir containing documents.parquet")
+    cs.add_argument("--out", required=True)
+    cs.add_argument("--k", type=int, default=50,
+                    help="token window width (50 = Lee-et-al. standard)")
+    cs.set_defaults(fn=cmd_cut_substrings)
+
     lk_kb = lk.add_mutually_exclusive_group()
     lk_kb.add_argument("--kb", default=None,
                        help="external KB parquet (entNorm, category, "

@@ -115,3 +115,15 @@ def test_cli_corpus_filter_consumables(spark, tmp_path, capsys):
                  "--out", out2, "--n", "2"]) == 0
     c2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert c2["rows"] == 475 and c2["n"] == 2
+
+    out3 = str(tmp_path / "cut")
+    assert main(["cut-substrings", "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", out3, "--k", "5"]) == 0
+    c3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert c3["rows"] == 500 and c3["k"] == 5
+    assert 0 < c3["touched"] <= 500 and c3["tokens_removed"] > 0
+    # cut output parses back and cleaned docs are never longer
+    cut = spark.read.parquet(out3)
+    assert cut.where(
+        "length(cleaned_text) > 0 and n_removed < 0"
+    ).count() == 0
