@@ -1946,7 +1946,8 @@ WITH spans AS (
   )
 )
 SELECT d.doc_id,
-       coalesce(kk.cleaned_text, '') AS cleaned_text,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(kk.cleaned_text, '') END AS cleaned_text,
        CAST(len(string_split(d.text, ' ')) - coalesce(kk.n_kept, 0)
             AS BIGINT) AS n_removed
 FROM documents d

@@ -96,6 +96,33 @@ def test_apply_cuts_marked_spans_keeps_rest(spark, tmp_path):
     assert out[6] == ("q r s", 0)
 
 
+def test_apply_null_text_matches_oracle(spark, tmp_path):
+    """Null-text docs: both engines return a null cleaned_text and
+    null n_removed (no silent ''-vs-NULL divergence)."""
+    from datashare_extension_neo4j_spark.queries import (
+        ORACLE_DEDUP_SUBSTRING_APPLY,
+        dedup_substring_apply,
+    )
+
+    sf = _write_docs(
+        spark, tmp_path, [(1, None), (2, "a b c d e f"), (3, "a b c d e f")]
+    )
+    got = sorted(
+        (r["doc_id"], r["cleaned_text"], r["n_removed"])
+        for r in dedup_substring_apply(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = sorted(
+        map(tuple, con.execute(ORACLE_DEDUP_SUBSTRING_APPLY).fetchall())
+    )
+    assert got == want
+    assert got[0][1] is None and got[0][2] is None
+
+
 def test_substring_spans_oracle_parity(spark):
     from datashare_extension_neo4j_spark.queries import (
         ORACLE_DEDUP_SUBSTRING_SPANS,
