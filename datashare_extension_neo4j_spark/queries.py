@@ -317,6 +317,44 @@ FROM e GROUP BY mentionNorm, category, endId, type
 """
 
 
+def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE north-star object: the engine's full (subj, pred, obj)
+    triple set — HAS_PARENT ∪ APPEARS_IN ∪ SENT/RECEIVED — as one
+    uniform relation (the reference emits these as its neo4j
+    relationship export; `tests/test_triple_pr.py` holds the P/R≥0.95
+    gate against independent goldens, this query makes the same set a
+    driver-checked consumable). Pure union of the three
+    already-oracle-checked edge derivations — no new shuffle beyond
+    their own semantic aggregations."""
+    hp = kg_has_parent(spark, sf_dir).select(
+        F.col("src").alias("subj"),
+        F.col("type").alias("pred"),
+        F.col("dst").alias("obj"),
+    )
+    ai = kg_appears_in(spark, sf_dir).select(
+        F.col("startId").alias("subj"),
+        F.col("type").alias("pred"),
+        F.col("endId").alias("obj"),
+    )
+    em = kg_email_edges(spark, sf_dir).select(
+        F.col("startId").alias("subj"),
+        F.col("type").alias("pred"),
+        F.col("endId").alias("obj"),
+    )
+    return hp.unionByName(ai).unionByName(em)
+
+
+ORACLE_KG_TRIPLES = f"""
+SELECT src AS subj, type AS pred, dst AS obj FROM ({ORACLE_KG_HAS_PARENT})
+UNION ALL
+SELECT startId AS subj, type AS pred, endId AS obj
+FROM ({ORACLE_KG_APPEARS_IN})
+UNION ALL
+SELECT startId AS subj, type AS pred, endId AS obj
+FROM ({ORACLE_KG_EMAIL_EDGES})
+"""
+
+
 def kg_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1: mention ⋉ imported-docs semi-join (imports.py:829-871) —
     mentions restricted to documents with lang = 'en'."""
@@ -3225,6 +3263,7 @@ QUERIES = {
     "kg_appears_in": (kg_appears_in, ORACLE_KG_APPEARS_IN),
     "kg_appears_in_salted": (kg_appears_in_salted, ORACLE_KG_APPEARS_IN),
     "kg_email_edges": (kg_email_edges, ORACLE_KG_EMAIL_EDGES),
+    "kg_triples": (kg_triples, ORACLE_KG_TRIPLES),
     "kg_semi_join": (kg_semi_join, ORACLE_KG_SEMI_JOIN),
     "kg_stats": (kg_stats, ORACLE_KG_STATS),
     "kg_dump_default": (kg_dump_default, ORACLE_KG_DUMP_DEFAULT),
