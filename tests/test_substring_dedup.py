@@ -123,6 +123,34 @@ def test_apply_null_text_matches_oracle(spark, tmp_path):
     assert got[0][1] is None and got[0][2] is None
 
 
+def test_substring_spans_k50_standard_width(spark, tmp_path):
+    """k is a real parameter: at the standard Lee-et-al. width (50) a
+    60-token run shared by two long docs marks exactly the shared
+    region (11 overlapping windows merge into one span per doc);
+    everything else in the 200-token docs stays unmarked."""
+    from datashare_extension_neo4j_spark.queries import (
+        dedup_substring_spans,
+    )
+
+    shared = [f"s{i}" for i in range(60)]
+    doc_a = [f"a{i}" for i in range(100)] + shared + [
+        f"at{i}" for i in range(40)
+    ]
+    doc_b = [f"b{i}" for i in range(20)] + shared + [
+        f"bt{i}" for i in range(120)
+    ]
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, " ".join(doc_a)), (2, " ".join(doc_b))],
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"])
+        for r in dedup_substring_spans(spark, sf, k=50).collect()
+    )
+    assert got == [(1, 100, 160, 60), (2, 20, 80, 60)]
+
+
 def test_substring_spans_oracle_parity(spark):
     from datashare_extension_neo4j_spark.queries import (
         ORACLE_DEDUP_SUBSTRING_SPANS,
