@@ -268,15 +268,23 @@ def cmd_cut_substrings(args) -> int:
     as parquet with per-doc removed-token counts."""
     from .queries import dedup_substring_apply
 
+    from pyspark.sql import functions as F
+
     spark = _spark(args.master)
     out = dedup_substring_apply(spark, args.sf_dir, k=args.k)
     out.write.mode("overwrite").parquet(args.out)
-    cleaned = spark.read.parquet(args.out)
-    n = cleaned.count()
-    n_touched = cleaned.where("n_removed > 0").count()
-    removed = cleaned.agg({"n_removed": "sum"}).collect()[0][0] or 0
-    print(json.dumps({"rows": n, "touched": n_touched,
-                      "tokens_removed": int(removed), "k": args.k,
+    # one aggregate job over the written output, not three scans
+    n, n_touched, removed = (
+        spark.read.parquet(args.out)
+        .agg(
+            F.count("*"),
+            F.sum((F.col("n_removed") > 0).cast("int")),
+            F.sum("n_removed"),
+        )
+        .first()
+    )
+    print(json.dumps({"rows": n, "touched": int(n_touched or 0),
+                      "tokens_removed": int(removed or 0), "k": args.k,
                       "out": args.out}))
     return 0
 
@@ -355,14 +363,6 @@ def main(argv: list[str] | None = None) -> int:
     lk = sub.add_parser("link")
     lk.add_argument("--run-dir", required=True)
     lk.add_argument("--out", required=True)
-    cs = sub.add_parser("cut-substrings")
-    cs.add_argument("--sf-dir", required=True,
-                    help="dir containing documents.parquet")
-    cs.add_argument("--out", required=True)
-    cs.add_argument("--k", type=int, default=50,
-                    help="token window width (50 = Lee-et-al. standard)")
-    cs.set_defaults(fn=cmd_cut_substrings)
-
     lk_kb = lk.add_mutually_exclusive_group()
     lk_kb.add_argument("--kb", default=None,
                        help="external KB parquet (entNorm, category, "
@@ -372,6 +372,14 @@ def main(argv: list[str] | None = None) -> int:
                        help="derive the KB from the store's APPEARS_IN"
                        " table (df = per-entity doc count)")
     lk.set_defaults(fn=cmd_link)
+
+    cs = sub.add_parser("cut-substrings")
+    cs.add_argument("--sf-dir", required=True,
+                    help="dir containing documents.parquet")
+    cs.add_argument("--out", required=True)
+    cs.add_argument("--k", type=int, default=50,
+                    help="token window width (50 = Lee-et-al. standard)")
+    cs.set_defaults(fn=cmd_cut_substrings)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -326,22 +326,19 @@ def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-checked consumable). Pure union of the three
     already-oracle-checked edge derivations — no new shuffle beyond
     their own semantic aggregations."""
-    hp = kg_has_parent(spark, sf_dir).select(
-        F.col("src").alias("subj"),
-        F.col("type").alias("pred"),
-        F.col("dst").alias("obj"),
+
+    def spo(df: DataFrame, s: str, o: str) -> DataFrame:
+        return df.select(
+            F.col(s).alias("subj"),
+            F.col("type").alias("pred"),
+            F.col(o).alias("obj"),
+        )
+
+    return (
+        spo(kg_has_parent(spark, sf_dir), "src", "dst")
+        .unionByName(spo(kg_appears_in(spark, sf_dir), "startId", "endId"))
+        .unionByName(spo(kg_email_edges(spark, sf_dir), "startId", "endId"))
     )
-    ai = kg_appears_in(spark, sf_dir).select(
-        F.col("startId").alias("subj"),
-        F.col("type").alias("pred"),
-        F.col("endId").alias("obj"),
-    )
-    em = kg_email_edges(spark, sf_dir).select(
-        F.col("startId").alias("subj"),
-        F.col("type").alias("pred"),
-        F.col("endId").alias("obj"),
-    )
-    return hp.unionByName(ai).unionByName(em)
 
 
 ORACLE_KG_TRIPLES = f"""
@@ -1844,6 +1841,12 @@ def dedup_substring_spans(
     sh = d.select("doc_id", F.explode(grams).alias("g")).select(
         "doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
     )
+    # ``sh`` feeds two branches, so the shingle explosion executes
+    # twice — deliberate: it is map-side scan+hash work, and the
+    # alternative (checkpointing the k×-amplified exploded stream)
+    # costs far more storage/IO than recomputing cheap projections.
+    # The dup branch partial-aggregates before its exchange, so only
+    # (h, count) pairs shuffle there.
     dup = sh.groupBy("h").agg(F.count("*").alias("_n")).where(
         F.col("_n") >= 2
     )
