@@ -44,17 +44,54 @@ def _eager_checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
 
     The snapshot-diff is serialized under a module lock so concurrent
     iterative loops on one SparkSession can't claim each other's
-    checkpoint ids. Caveat: a localCheckpoint issued OUTSIDE this
-    helper that materializes inside the window would still be
-    misattributed — keep iterative loops on this helper."""
+    checkpoint ids — but only the diff is: ``localCheckpoint`` marks
+    and REGISTERS the RDD (persist) at call time even when lazy, so
+    the lock covers two metadata reads plus the mark, and the
+    expensive part — the materialization job — runs outside it. A slow
+    checkpoint (e.g. a media embedding kernel) therefore no longer
+    blocks every other iterative loop on the session. Caveat: a
+    localCheckpoint issued OUTSIDE this helper inside the (tiny) diff
+    window would still be misattributed — keep iterative loops on
+    this helper."""
     spark = df.sparkSession
     with _CKPT_LOCK:
         before = _persistent_rdd_ids(spark)
-        out = df.localCheckpoint()
+        out = df.localCheckpoint(eager=False)
         after = _persistent_rdd_ids(spark)
+    out.count()  # materialize outside the lock
     if before is None or after is None:
         return out, set()
     return out, after - before
+
+
+_LONG_LIVED_CKPT_IDS: dict[str, set[int]] = {}
+
+
+def _register_long_lived(spark: SparkSession, ids: set[int]) -> None:
+    """Record checkpoint-block ids that intentionally outlive their
+    creating function (e.g. a checkpointed kernel output backing a
+    returned DataFrame) so a long-lived driver can reclaim executor
+    storage later via :func:`release_long_lived_checkpoints` instead
+    of accumulating blocks until session end."""
+    if not ids:
+        return
+    key = spark.sparkContext.applicationId
+    with _CKPT_LOCK:
+        _LONG_LIVED_CKPT_IDS.setdefault(key, set()).update(ids)
+
+
+def release_long_lived_checkpoints(spark: SparkSession) -> int:
+    """Unpersist every registered long-lived checkpoint block for this
+    session and return how many RDD ids were released. Local
+    checkpoints truncate lineage, so DataFrames backed by the released
+    blocks must NOT be used afterwards — call this once the results of
+    checkpoint-backed queries (e.g. ``media_embed_neardup``) have been
+    fully consumed."""
+    key = spark.sparkContext.applicationId
+    with _CKPT_LOCK:
+        ids = _LONG_LIVED_CKPT_IDS.pop(key, set())
+    _unpersist_rdd_ids(spark, ids)
+    return len(ids)
 
 
 def _unpersist_rdd_ids(spark: SparkSession, ids: set[int]) -> None:

@@ -2741,7 +2741,10 @@ def media_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse stage in ``pipeline.build_graph(checkpoint_dir=...)``.
     Candidates come from the band-bucket join, never an all-pairs
     cross join."""
-    from .operators.graph_algos import _eager_checkpoint
+    from .operators.graph_algos import (
+        _eager_checkpoint,
+        _register_long_lived,
+    )
     from .operators.multimodal import media_embeddings
     from .operators.similarity import (
         _with_lsh_signatures,
@@ -2757,8 +2760,13 @@ def media_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint via the shared helper so the snapshot-diff lock keeps
     # concurrent iterative loops from claiming (and later destroying)
     # these blocks; the ids are deliberately kept alive — the frame
-    # backs the returned query for its whole lifetime
+    # backs the returned query for its whole lifetime — but they are
+    # REGISTERED so a long-lived driver can reclaim the executor
+    # storage once the result is consumed (graph_algos.
+    # release_long_lived_checkpoints), instead of accumulating one
+    # checkpointed embedding copy per invocation forever
     emb, _emb_ids = _eager_checkpoint(media_embeddings(media))
+    _register_long_lived(spark, _emb_ids)
     sigs = _with_lsh_signatures(
         emb, "embedding", dim=_MEDIA_DIM, bits=_MEDIA_LSH_BITS,
         tables=_MEDIA_LSH_TABLES, prefix="sig",

@@ -213,28 +213,34 @@ def _band_bucket_fn(
 ) -> Iterator[pd.DataFrame]:
     """Per band bucket: remember the FIRST doc ever seen; every later
     doc landing in the bucket is emitted as a near-dup candidate
-    against that keeper. Within a batch, rows process in (ts, doc_id)
-    order so the keeper is deterministic."""
+    against that keeper. The batch-global (ts, doc_id) min is resolved
+    across ALL Arrow chunks before any row is emitted — a band group
+    can span multiple chunks in one micro-batch (large batches, or a
+    task retry re-chunking the rows), and a chunk-local election would
+    make the keeper depend on chunk boundaries."""
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return
+    rows = pd.concat(chunks, ignore_index=True).sort_values(
+        ["ts", "doc_id"]
+    )
     if state.exists:
         keeper_doc, keeper_ts = state.get
     else:
-        keeper_doc, keeper_ts = None, None
+        first = next(rows.itertuples(index=False))
+        keeper_doc, keeper_ts = first.doc_id, int(first.ts)
     out: list[dict] = []
-    for pdf in pdfs:
-        for r in pdf.sort_values(["ts", "doc_id"]).itertuples(index=False):
-            if keeper_doc is None:
-                keeper_doc, keeper_ts = r.doc_id, int(r.ts)
-            elif r.doc_id != keeper_doc:
-                out.append(
-                    {
-                        "doc_id": r.doc_id,
-                        "band": key[0],
-                        "keeperDocId": keeper_doc,
-                        "ts": int(r.ts),
-                    }
-                )
-    if keeper_doc is not None:
-        state.update((keeper_doc, keeper_ts))
+    for r in rows.itertuples(index=False):
+        if r.doc_id != keeper_doc:
+            out.append(
+                {
+                    "doc_id": r.doc_id,
+                    "band": key[0],
+                    "keeperDocId": keeper_doc,
+                    "ts": int(r.ts),
+                }
+            )
+    state.update((keeper_doc, keeper_ts))
     if out:
         yield pd.DataFrame(
             out, columns=[f.name for f in NEAR_DUP_OUTPUT]

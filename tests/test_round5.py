@@ -1,0 +1,118 @@
+"""Round-5 regression tests: the three ADVICE findings (cross-chunk
+keeper election in the streaming band-bucket op, a release path for
+long-lived checkpoint blocks, narrow checkpoint-lock scope) plus the
+new round-5 operators' guards.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving stateful fns directly."""
+
+    def __init__(self, value=None):
+        self._v = value
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_band_bucket_keeper_resolved_across_chunks():
+    """A band group spanning multiple Arrow chunks must elect the
+    batch-global (ts, doc_id) min as keeper — a chunk-local election
+    would flag the true keeper against a later arrival whenever the
+    min lands in a later chunk (or a task retry re-chunks the rows)."""
+    from datashare_extension_neo4j_spark.streaming.stateful import (
+        _band_bucket_fn,
+    )
+
+    chunk1 = pd.DataFrame(
+        {"doc_id": ["z"], "text": ["t"], "ts": [5], "band": ["b0"]}
+    )
+    chunk2 = pd.DataFrame(
+        {"doc_id": ["a"], "text": ["t"], "ts": [1], "band": ["b0"]}
+    )
+    state = _FakeState()
+    out = list(_band_bucket_fn(("b0",), iter([chunk1, chunk2]), state))
+    assert state.get[0] == "a"  # global min, despite arriving 2nd chunk
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row["doc_id"] == "z" and row["keeperDocId"] == "a"
+
+
+def test_band_bucket_existing_state_wins_and_empty_batch_noop():
+    from datashare_extension_neo4j_spark.streaming.stateful import (
+        _band_bucket_fn,
+    )
+
+    state = _FakeState(("k", 0))
+    chunk = pd.DataFrame(
+        {"doc_id": ["a"], "text": ["t"], "ts": [1], "band": ["b0"]}
+    )
+    out = list(_band_bucket_fn(("b0",), iter([chunk]), state))
+    assert state.get == ("k", 0)
+    assert out[0].iloc[0]["keeperDocId"] == "k"
+    # all-empty chunk iterator: no emission, state untouched
+    assert list(_band_bucket_fn(("b0",), iter([chunk.iloc[0:0]]), state)) == []
+    assert state.get == ("k", 0)
+
+
+def test_lazy_local_checkpoint_registers_before_materialization(spark):
+    """The narrow-lock fix in _eager_checkpoint depends on
+    localCheckpoint(eager=False) REGISTERING the RDD in the persistent
+    map at call time (persist happens at mark time, the job later) —
+    guard that Spark behavior, since the snapshot-diff is only valid
+    under the lock if registration is synchronous."""
+    from datashare_extension_neo4j_spark.operators.graph_algos import (
+        _persistent_rdd_ids,
+    )
+
+    df = spark.range(10)
+    before = _persistent_rdd_ids(spark)
+    lazy = df.localCheckpoint(eager=False)
+    after = _persistent_rdd_ids(spark)
+    new = after - before
+    assert new, "lazy localCheckpoint must register its RDD immediately"
+    lazy.count()
+    # cleanup
+    from datashare_extension_neo4j_spark.operators.graph_algos import (
+        _unpersist_rdd_ids,
+    )
+
+    _unpersist_rdd_ids(spark, new)
+
+
+def test_media_embed_neardup_checkpoints_are_releasable(spark):
+    """media_embed_neardup keeps its embedding checkpoint alive to
+    back the returned frame, but a long-lived driver must be able to
+    reclaim the executor storage once the result is consumed."""
+    from datashare_extension_neo4j_spark.operators.graph_algos import (
+        _persistent_rdd_ids,
+        release_long_lived_checkpoints,
+    )
+    from datashare_extension_neo4j_spark.queries import media_embed_neardup
+
+    release_long_lived_checkpoints(spark)  # clean slate
+    before = _persistent_rdd_ids(spark)
+    out = media_embed_neardup(spark, SF)
+    out.count()  # consume
+    new = _persistent_rdd_ids(spark) - before
+    assert new, "the embed kernel checkpoint should be persisted"
+    released = release_long_lived_checkpoints(spark)
+    assert released >= 1
+    # idempotent: nothing left to release
+    assert release_long_lived_checkpoints(spark) == 0
+    # the released ids are actually gone from the persistent map
+    assert not (new & _persistent_rdd_ids(spark))
