@@ -1802,6 +1802,70 @@ _SUBSTR_K = 5  # tokens per shingle (test-scale width; the standard
 # the oracle interpolates the same constant)
 
 
+def _rolling_gram_cols(df: DataFrame, k: int) -> tuple[DataFrame, str]:
+    """Window hashes over ``split(text, ' ')`` WITHOUT materializing
+    k-token strings: a rotation-keyed XOR hash (buzhash / cyclic
+    polynomial) computed in O(n log k) long-ops per document instead
+    of ~k× string-byte assembly per window position.
+
+    Construction: per-token h[p] = xxhash64(token); position-keyed
+    u[p] = rotl(h[p], p mod 64); the window XOR S(i) = ⊕ u[i..i+k-1]
+    is assembled from power-of-two block XORs built by doubling
+    (X_2b[j] = X_b[j] ⊕ X_b[j+b], log k in-row passes), then rotated
+    back: H(i) = rotr(S(i), i mod 64) = ⊕_j rotl(h[i+j], j mod 64) —
+    a function of the token SEQUENCE only, so equal windows always
+    collide and distinct windows collide with ~2^-64 odds (the same
+    standard as hashing the joined string; the DuckDB oracle keeps
+    exact strings). Rotation keying requires k ≤ 64: beyond that,
+    equal tokens 64 apart in one window would cancel structurally.
+
+    Returns (df with helper cols, SQL expr for the window-hash array
+    of struct<pos, h>) — the caller explodes it. Everything is JVM
+    expression work: no UDFs, no shuffle, no per-window allocation
+    beyond the output array itself."""
+    if not 1 <= k <= 64:
+        raise ValueError(
+            "rolling shingle width must be in [1, 64]: positions are "
+            "rotation-keyed mod 64 (Lee et al. standard width is 50)"
+        )
+    powers = sorted(
+        (1 << b for b in range(7) if (k >> b) & 1), reverse=True
+    )
+    df = df.withColumn(
+        "_th", F.expr("transform(split(text, ' '), t -> xxhash64(t))")
+    ).withColumn(
+        "_x1",
+        F.expr(
+            "transform(_th, (h, i) -> shiftleft(h, i % 64) | "
+            "shiftrightunsigned(h, 64 - i % 64))"
+        ),
+    )
+    b = 1
+    while 2 * b <= powers[0]:
+        df = df.withColumn(
+            f"_x{2 * b}",
+            F.expr(
+                f"zip_with(_x{b}, slice(_x{b}, {b + 1}, "
+                f"greatest(size(_x{b}) - {b}, 0)), "
+                "(p, q) -> p ^ coalesce(q, 0L))"
+            ),
+        )
+        b *= 2
+    terms, off = [], 0
+    for p in powers:
+        terms.append(f"element_at(_x{p}, i + {off + 1})")
+        off += p
+    s = "(" + " ^ ".join(terms) + ")"
+    h = f"(shiftrightunsigned({s}, i % 64) | shiftleft({s}, 64 - i % 64))"
+    grams = (
+        f"CASE WHEN size(_th) >= {k} THEN "
+        f"transform(sequence(0, size(_th) - {k}), "
+        f"i -> struct(CAST(i AS BIGINT) AS pos, {h} AS h)) "
+        "ELSE CAST(array() AS array<struct<pos:bigint,h:bigint>>) END"
+    )
+    return df, grams
+
+
 def dedup_substring_spans(
     spark: SparkSession, sf_dir: str, k: int = _SUBSTR_K
 ) -> DataFrame:
@@ -1813,38 +1877,29 @@ def dedup_substring_spans(
     (doc_id, span_start, span_end) consumable a training pipeline cuts
     out of the text, the standard complement to document-level MinHash.
 
-    Scale shape: windows are hashed to 64-bit (xxhash64) so only
-    8-byte keys shuffle; the duplicate test is ONE count aggregation
-    on the hash (map-side partial combine) + a semi join back — no
-    pair explosion anywhere, degenerate boilerplate shingles cost
-    count-agg rows, never pairs. The span merge is a per-doc window
-    (running max of covered-end), partitioned on doc_id — the semantic
-    minimum. Oracle: identical construction over shingle STRINGS
-    (DuckDB lacks xxhash64; collision odds ~1e-10, the
-    decontaminate_ngram discipline)."""
+    Scale shape: windows are hashed to 64-bit via a rotation-keyed
+    XOR rolling construction (``_rolling_gram_cols``) — O(n log k)
+    long-ops per document, NOT ~k× per-window string assembly — so
+    only 8-byte keys shuffle; the duplicate test is ONE count
+    aggregation on the hash (map-side partial combine) + a semi join
+    back — no pair explosion anywhere, degenerate boilerplate
+    shingles cost count-agg rows, never pairs. The span merge is a
+    per-doc window (running max of covered-end), partitioned on
+    doc_id — the semantic minimum. Oracle: identical construction
+    over shingle STRINGS (DuckDB keeps exactness; hash collision odds
+    ~1e-10, the decontaminate_ngram discipline)."""
     from pyspark.sql import Window as W
 
-    d = _docs(spark, sf_dir)
-    tk = F.split(F.col("text"), " ")
-    grams = F.when(
-        F.size(tk) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tk) - k),
-            lambda i: F.struct(
-                i.cast("long").alias("pos"),
-                F.xxhash64(F.array_join(F.slice(tk, i + 1, k), " ")).alias(
-                    "h"
-                ),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:long,h:bigint>>"))
-    sh = d.select("doc_id", F.explode(grams).alias("g")).select(
+    d, grams = _rolling_gram_cols(
+        _docs(spark, sf_dir).select("doc_id", "text"), k
+    )
+    sh = d.select("doc_id", F.explode(F.expr(grams)).alias("g")).select(
         "doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
     )
-    # ``sh`` feeds two branches, so the shingle explosion executes
-    # twice — deliberate: it is map-side scan+hash work, and the
-    # alternative (checkpointing the k×-amplified exploded stream)
-    # costs far more storage/IO than recomputing cheap projections.
+    # ``sh`` feeds two branches, so the window-hash pass executes
+    # twice — deliberate: it is map-side scan+hash work (O(n log k)
+    # longs), and the alternative (checkpointing the exploded stream)
+    # costs more storage/IO than recomputing cheap projections.
     # The dup branch partial-aggregates before its exchange, so only
     # (h, count) pairs shuffle there.
     dup = sh.groupBy("h").agg(F.count("*").alias("_n")).where(
@@ -1933,8 +1988,11 @@ def dedup_substring_apply(
 
     Scale shape: spans per doc are collected into an in-row array
     (spans are merged maximal intervals, bounded by text length /
-    k-token granularity — row-local data, not a skew risk) and the cut
-    is a single higher-order-function projection over the token array:
+    k-token granularity — row-local data, not a skew risk) and the
+    cut walks the SORTED spans once, slicing the gap segments between
+    consecutive spans and flattening them — O(tokens + spans) per
+    document (each token copied once, never tested against every
+    span, so a boilerplate-heavy doc with many spans stays linear):
     one join on doc_id, zero extra shuffles beyond the span
     derivation."""
     d = _docs(spark, sf_dir)
@@ -1951,22 +2009,34 @@ def dedup_substring_apply(
         )
     )
     tk = F.split(F.col("text"), " ")
-    sp = F.coalesce(
-        F.col("_sp"), F.array().cast("array<struct<s:long,e:long>>")
+    # collect_list order is nondeterministic after the span shuffle —
+    # sort by struct (s first) so segment walking sees ascending,
+    # disjoint intervals
+    sp = F.array_sort(
+        F.coalesce(
+            F.col("_sp"), F.array().cast("array<struct<s:long,e:long>>")
+        )
     )
-    kept = F.filter(
+    # gap segment j (0-based, one per span plus the tail) runs from
+    # the previous span's end (or 0) to the next span's start (or n);
+    # merged maximal spans guarantee non-negative gap lengths
+    seg_start = lambda j: F.when(j == 0, F.lit(0).cast("long")).otherwise(
+        F.element_at(sp, j)["e"]
+    )
+    seg_end = lambda j: F.when(j == F.size(sp), F.size(tk).cast("long")).otherwise(
+        F.element_at(sp, j + 1)["s"]
+    )
+    kept = F.flatten(
         F.transform(
-            tk, lambda t, i: F.struct(t.alias("t"), i.cast("long").alias("i"))
-        ),
-        lambda x: ~F.exists(
-            sp, lambda b: (x["i"] >= b["s"]) & (x["i"] < b["e"])
-        ),
+            F.sequence(F.lit(0), F.size(sp)),
+            lambda j: F.slice(
+                tk, seg_start(j) + 1, seg_end(j) - seg_start(j)
+            ),
+        )
     )
     return d.join(spans, "doc_id", "left").select(
         "doc_id",
-        F.array_join(F.transform(kept, lambda x: x["t"]), " ").alias(
-            "cleaned_text"
-        ),
+        F.array_join(kept, " ").alias("cleaned_text"),
         (F.size(tk) - F.size(kept)).cast("long").alias("n_removed"),
     )
 

@@ -167,3 +167,37 @@ def test_substring_spans_oracle_parity(spark):
         map(tuple, con.execute(ORACLE_DEDUP_SUBSTRING_SPANS).fetchall())
     )
     assert got == want and len(got) > 0
+
+
+def test_apply_many_span_doc_linear_segment_cut(spark, tmp_path):
+    """A boilerplate-heavy doc with MANY disjoint spans (20 repeated
+    5-token blocks separated by unique fillers) must cut every block
+    and keep every filler — the segment-walk rewrite's worst case
+    (old per-token exists was O(tokens x spans) here)."""
+    from datashare_extension_neo4j_spark.queries import (
+        dedup_substring_apply,
+    )
+
+    block = "a b c d e"
+    parts = []
+    for j in range(20):
+        parts.append(block)
+        parts.append(f"u{j}")
+    sf = _write_docs(spark, tmp_path, [(1, " ".join(parts))])
+    rows = {r["doc_id"]: r for r in dedup_substring_apply(spark, sf).collect()}
+    assert rows[1]["cleaned_text"] == " ".join(f"u{j}" for j in range(20))
+    assert rows[1]["n_removed"] == 100
+
+
+def test_rolling_gram_width_guard():
+    """Rotation-keyed positions cap the shingle width at 64 tokens —
+    beyond that, equal tokens 64 apart in a window cancel
+    structurally. Fail loudly, never hash weakly."""
+    import pytest
+
+    from datashare_extension_neo4j_spark.queries import _rolling_gram_cols
+
+    with pytest.raises(ValueError, match=r"\[1, 64\]"):
+        _rolling_gram_cols(None, 65)
+    with pytest.raises(ValueError, match=r"\[1, 64\]"):
+        _rolling_gram_cols(None, 0)
