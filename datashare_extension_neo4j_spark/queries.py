@@ -942,6 +942,65 @@ LEFT JOIN ({ORACLE_DEDUP_MINHASH_CLUSTERS}) cl USING (doc_id)
 """
 
 
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic two-batch replay of the incremental near-dup
+    store (``sinks/neardup.py``): even doc_ids play the role of the
+    already-accepted corpus (the persisted band-signature store), odd
+    doc_ids the new increment. A new doc sharing ANY LSH band bucket
+    with a stored doc is suppressed against the minimum colliding
+    stored doc — exactly the store join ``incremental_neardup`` runs
+    against parquet, here expressed over one table so the driver's
+    DuckDB oracle can replay it.
+
+    Scale shape: signature derivation touches only the increment in
+    the real operator (the store holds band keys, not text — nothing
+    to recompute); the store join keys on uniformly-distributed md5
+    band values and the suppression agg is a per-new-doc min. No
+    corpus-sized work per increment."""
+    from .sinks.neardup import band_signatures
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bands = band_signatures(d)
+    store = bands.where(F.col("doc_id") % 2 == 0).withColumnRenamed(
+        "doc_id", "keeperDocId"
+    )
+    new = bands.where(F.col("doc_id") % 2 == 1)
+    dups = (
+        new.join(store, "band")
+        .groupBy("doc_id")
+        .agg(F.min("keeperDocId").alias("keeper_doc_id"))
+    )
+    return (
+        d.where(F.col("doc_id") % 2 == 1)
+        .select("doc_id")
+        .join(dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            "keeper_doc_id",
+            F.col("keeper_doc_id").isNotNull().alias("suppressed"),
+        )
+    )
+
+
+ORACLE_DEDUP_INCREMENTAL_NEARDUP = f"""
+WITH sig AS ({ORACLE_DEDUP_MINHASH_SIG}
+), bands AS (
+  {" UNION ".join(
+      f"SELECT doc_id, band{i} AS band FROM sig" for i in range(_N_BANDS)
+  )}
+), dups AS (
+  SELECT n.doc_id, min(s.doc_id) AS keeper_doc_id
+  FROM bands n JOIN bands s ON n.band = s.band
+  WHERE n.doc_id % 2 = 1 AND s.doc_id % 2 = 0
+  GROUP BY n.doc_id
+)
+SELECT d.doc_id, u.keeper_doc_id,
+       u.keeper_doc_id IS NOT NULL AS suppressed
+FROM documents d LEFT JOIN dups u ON u.doc_id = d.doc_id
+WHERE d.doc_id % 2 = 1
+"""
+
+
 _DECONTAM_N = 2  # registry entry: bigrams (the test corpus's tiny
 # vocabulary makes 13-grams all-unique → zero overlap, nothing tested);
 # production calls pass n=13, the standard benchmark-decontamination
@@ -3355,6 +3414,9 @@ QUERIES = {
     "dedup_minhash_sig": (dedup_minhash_sig, ORACLE_DEDUP_MINHASH_SIG),
     "dedup_minhash_pairs": (dedup_minhash_pairs, ORACLE_DEDUP_MINHASH_PAIRS),
     "dedup_minhash_assign": (dedup_minhash_assign, ORACLE_DEDUP_MINHASH_ASSIGN),
+    "dedup_incremental_neardup": (
+        dedup_incremental_neardup, ORACLE_DEDUP_INCREMENTAL_NEARDUP,
+    ),
     "decontaminate_ngram": (decontaminate_ngram, ORACLE_DECONTAMINATE_NGRAM),
     "vocab_stats": (vocab_stats, ORACLE_VOCAB_STATS),
     "kg_entity_pagerank": (kg_entity_pagerank, ORACLE_KG_ENTITY_PAGERANK),
