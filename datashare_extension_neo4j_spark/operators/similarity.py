@@ -303,6 +303,118 @@ def ivf_ann_topk(
     return _rank_topk(scored, k)
 
 
+def kmeans_fixed_point(
+    vectors: DataFrame,
+    n_lists: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = IVF_SCALE,
+) -> DataFrame:
+    """Fixed-iteration Lloyd k-means over quantized vectors — the IVF
+    codebook TRAINING step as DataFrame ops, replacing random-sample
+    init with actual cluster refinement while keeping the engine-exact
+    fixed-point discipline (the ``kg_entity_pagerank`` pattern):
+
+    - vectors quantized to longs (``round(x·2^16)``, exact in both
+      engines);
+    - assignment = exact integer L2 argmin, ties by list_id;
+    - new centroid = per-dimension ``CAST(round(sum/count) AS LONG)``
+      (integer sums < 2^53 are exact in doubles, and round() is
+      half-away-from-zero in Spark AND DuckDB, so every iteration is
+      engine-identical and an unrolled-CTE oracle replays it);
+    - a list that captures no vectors keeps its previous centroid.
+
+    Init = vectors with id < n_lists (the deterministic sample init
+    every build starts from). The whole loop is IN-PLAN (the per-round
+    centroid table rides as a broadcast one-row array; no driver
+    collect): per iteration one broadcast cross join + one
+    (list_id, pos) partial-aggregated shuffle + one list_id agg —
+    vocab-cardinality state, corpus-cardinality work only in the
+    assignment scan, the k-means scale shape.
+
+    Returns ``(list_id int, cq array<long>, n_assigned long)`` where
+    ``n_assigned`` counts the final assignment that produced the
+    returned centroids."""
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        quantize(F.col(vec_col), scale).alias("vq"),
+    )
+    cents = v.where(F.col("vid") < n_lists).select(
+        F.col("vid").cast("int").alias("list_id"),
+        F.col("vq").alias("cq"),
+        F.lit(0).cast("long").alias("n_assigned"),
+    )
+    for _ in range(iters):
+        crow = cents.groupBy().agg(
+            F.collect_list(F.struct("list_id", "cq")).alias("_cents")
+        )
+        dists = F.transform(
+            F.col("_cents"),
+            lambda s: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("vq"),
+                        s.getField("cq"),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                s.getField("list_id").alias("list_id"),
+            ),
+        )
+        assign = v.crossJoin(F.broadcast(crow)).select(
+            "vid",
+            "vq",
+            F.element_at(F.array_sort(dists), 1)
+            .getField("list_id")
+            .alias("list_id"),
+        )
+        sums = (
+            assign.select(
+                "list_id", F.posexplode("vq").alias("pos", "val")
+            )
+            .groupBy("list_id", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+        )
+        newc = (
+            sums.select(
+                "list_id",
+                "pos",
+                F.round(F.col("s") / F.col("n")).cast("long").alias("m"),
+                "n",
+            )
+            .groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("pos").alias("p"),
+                                F.col("m").alias("m"),
+                            )
+                        )
+                    ),
+                    lambda x: x.getField("m"),
+                ).alias("_cq2"),
+                F.min("n").alias("_n2"),
+            )
+        )
+        cents = (
+            cents.select("list_id", "cq")
+            .join(newc, "list_id", "left")
+            .select(
+                "list_id",
+                F.coalesce("_cq2", "cq").alias("cq"),
+                F.coalesce(F.col("_n2"), F.lit(0))
+                .cast("long")
+                .alias("n_assigned"),
+            )
+        )
+    return cents
+
+
 def explode_buckets(
     df: DataFrame, tables: int, prefix: str, keep: list[str]
 ) -> DataFrame:

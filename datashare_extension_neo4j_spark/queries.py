@@ -2676,52 +2676,157 @@ WITH vq AS (
 ORACLE_ANN_LSH_TOPK = _lsh_oracle_sql()
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN: coarse quantizer → probe → exact re-rank.
-    The codebook is the random-sample init every IVF build starts from
-    (centroids = embeddings of vec_id 0..n_lists-1) — the production
-    shape where the quantizer is trained once offline and shipped as
-    data; collected driver-side (n_lists·dim floats, bounded — the
-    documented exception to no-collect). List assignment is
-    FIXED-POINT (exact integer L2, ties by list_id), so buckets are
-    engine-exact and the DuckDB oracle replays the whole query —
-    full hash check. Recall is additionally gated by ann_ivf_recall."""
-    from .operators.similarity import ivf_ann_topk
-
-    e = _emb(spark, sf_dir)
-    q = e.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
-    )
-    cents = [
-        [float(x) for x in r["embedding"]]
-        for r in e.where(F.col("vec_id") < _IVF_LISTS)
-        .orderBy("vec_id")
-        .collect()
-    ]
-    out = ivf_ann_topk(
-        e, q, k=_ANN_K, n_lists=_IVF_LISTS, n_probe=_IVF_PROBE,
-        centroids=cents,
-    )
-    return out.select("qid", "nid", "rank", F.round("cos", 6).alias("cosine"))
+_IVF_KM_ITERS = 3  # fixed Lloyd rounds for the trained codebook —
+# enough to move centroids off the sample init; each round is one
+# broadcast cross join + two aggs, and the oracle unrolls one CTE
+# block per round
 
 
-def _ivf_oracle_sql() -> str:
-    """DuckDB replay of the fixed-point IVF path. Spark sums
-    (vq-cq)² in longs; the oracle expands to dot(v,v)-2dot(v,c)+
-    dot(c,c) in doubles — every term an exact integer < 2^53, so both
-    produce the same number."""
+def _ivf_train_ctes() -> str:
+    """Unrolled DuckDB CTE chain replaying kmeans_fixed_point
+    (operators/similarity.py) round for round: Spark sums (vq-cq)² in
+    longs; the oracle expands to dot(v,v)-2dot(v,c)+dot(c,c) in
+    doubles — every term an exact integer < 2^53 — and the centroid
+    update round(sum/count) is half-away-from-zero in both engines.
+    The final centroids live in CTE ``c{_IVF_KM_ITERS}``."""
     from .operators.similarity import IVF_SCALE
 
     quant = (
         "list_transform(CAST(embedding AS DOUBLE[]), "
         f"x -> round(x * {float(IVF_SCALE)}))"
     )
+    parts = [
+        f"vq AS (\n  SELECT vec_id, {quant} AS vq FROM embeddings\n)",
+        (
+            "c0 AS (\n  SELECT CAST(vec_id AS INT) AS list_id, vq AS cq,"
+            " CAST(0 AS BIGINT) AS n_assigned\n"
+            f"  FROM vq WHERE vec_id < {_IVF_LISTS}\n)"
+        ),
+    ]
+    for r in range(1, _IVF_KM_ITERS + 1):
+        p = r - 1
+        parts.append(
+            f"d{r} AS (\n"
+            "  SELECT v.vec_id, v.vq, c.list_id,\n"
+            "         list_dot_product(v.vq, v.vq)\n"
+            "         - 2 * list_dot_product(v.vq, c.cq)\n"
+            "         + list_dot_product(c.cq, c.cq) AS d\n"
+            f"  FROM vq v CROSS JOIN c{p} c\n)"
+        )
+        parts.append(
+            f"a{r} AS (\n"
+            "  SELECT vec_id, vq, list_id FROM (\n"
+            "    SELECT vec_id, vq, list_id,\n"
+            "           row_number() OVER (PARTITION BY vec_id"
+            " ORDER BY d, list_id) AS rn\n"
+            f"    FROM d{r}\n  ) WHERE rn = 1\n)"
+        )
+        parts.append(
+            f"s{r} AS (\n"
+            "  SELECT list_id, pos, sum(val) AS s, count(*) AS n\n"
+            "  FROM (SELECT list_id, unnest(vq) AS val,\n"
+            "               generate_subscripts(vq, 1) AS pos"
+            f" FROM a{r})\n"
+            "  GROUP BY list_id, pos\n)"
+        )
+        parts.append(
+            f"n{r} AS (\n"
+            "  SELECT list_id, list(round(s / n) ORDER BY pos) AS cq,\n"
+            "         min(n) AS n_assigned\n"
+            f"  FROM s{r} GROUP BY list_id\n)"
+        )
+        parts.append(
+            f"c{r} AS (\n"
+            "  SELECT c.list_id, coalesce(u.cq, c.cq) AS cq,\n"
+            "         CAST(coalesce(u.n_assigned, 0) AS BIGINT)"
+            " AS n_assigned\n"
+            f"  FROM c{p} c LEFT JOIN n{r} u USING (list_id)\n)"
+        )
+    return ",\n".join(parts)
+
+
+def ann_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF codebook TRAINING consumable: fixed-iteration Lloyd
+    k-means (``kmeans_fixed_point``) over the embeddings table —
+    (list_id, n_assigned, centroid) where centroid is the quantized
+    long vector comma-joined (engine-exact, hashable). ``ann_ivf_topk``
+    consumes exactly these centroids."""
+    from .operators.similarity import kmeans_fixed_point
+
+    c = kmeans_fixed_point(
+        _emb(spark, sf_dir), _IVF_LISTS, iters=_IVF_KM_ITERS
+    )
+    return c.select(
+        "list_id",
+        "n_assigned",
+        F.array_join(
+            F.transform(F.col("cq"), lambda x: x.cast("string")), ","
+        ).alias("centroid"),
+    )
+
+
+ORACLE_ANN_IVF_TRAIN = f"""
+WITH {_ivf_train_ctes()}
+SELECT list_id, n_assigned,
+       array_to_string(list_transform(cq, x -> CAST(x AS BIGINT)), ',')
+           AS centroid
+FROM c{_IVF_KM_ITERS}
+"""
+
+
+def _ivf_trained_centroids(spark: SparkSession, sf_dir: str) -> list:
+    """Trained codebook collected driver-side (n_lists·dim longs,
+    bounded — the documented exception to no-collect), dequantized by
+    the power-of-two scale: cq/2^16 is exact in doubles, so
+    ``ivf_ann_topk``'s in-plan re-quantization reproduces the trained
+    integers bit-for-bit."""
+    from .operators.similarity import IVF_SCALE, kmeans_fixed_point
+
+    rows = (
+        kmeans_fixed_point(
+            _emb(spark, sf_dir), _IVF_LISTS, iters=_IVF_KM_ITERS
+        )
+        .select("list_id", "cq")
+        .collect()
+    )
+    return [
+        [x / IVF_SCALE for x in r["cq"]]
+        for r in sorted(rows, key=lambda r: r["list_id"])
+    ]
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: TRAINED coarse quantizer → probe → exact
+    re-rank. The codebook comes from ``ann_ivf_train``'s fixed-point
+    Lloyd loop (production trains it once offline and ships it as
+    data; here it is derived in-engine for self-containment). List
+    assignment is FIXED-POINT (exact integer L2, ties by list_id), so
+    buckets are engine-exact and the DuckDB oracle replays the whole
+    train+probe pipeline — full hash check. Recall is additionally
+    gated by ann_ivf_recall."""
+    from .operators.similarity import ivf_ann_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    out = ivf_ann_topk(
+        e, q, k=_ANN_K, n_lists=_IVF_LISTS, n_probe=_IVF_PROBE,
+        centroids=_ivf_trained_centroids(spark, sf_dir),
+    )
+    return out.select("qid", "nid", "rank", F.round("cos", 6).alias("cosine"))
+
+
+def _ivf_oracle_sql() -> str:
+    """DuckDB replay of the fixed-point IVF path, INCLUDING the
+    codebook training (the unrolled Lloyd CTE chain). Spark sums
+    (vq-cq)² in longs; the oracle expands to dot(v,v)-2dot(v,c)+
+    dot(c,c) in doubles — every term an exact integer < 2^53, so both
+    produce the same number."""
     return f"""
-WITH cents AS (
-  SELECT vec_id AS list_id, {quant} AS cq
-  FROM embeddings WHERE vec_id < {_IVF_LISTS}
-), vq AS (
-  SELECT vec_id, {quant} AS vq FROM embeddings
+WITH {_ivf_train_ctes()},
+cents AS (
+  SELECT list_id, cq FROM c{_IVF_KM_ITERS}
 ), dists AS (
   SELECT v.vec_id, c.list_id,
          list_dot_product(v.vq, v.vq)
@@ -2791,15 +2896,19 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 gate for IVF ANN (n_lists=8, n_probe=6 — measured 1.0
-    at sf0.001/sf0.01 vs the 0.8 bar)."""
+    """Recall@5 gate for IVF ANN over the TRAINED codebook
+    (n_lists=8, n_probe=6 — measured 1.0 at sf0.001/sf0.01 vs the 0.8
+    bar, matching the pre-training gate)."""
     from .operators.similarity import ivf_ann_topk
 
     e = _emb(spark, sf_dir)
     q = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    approx = ivf_ann_topk(e, q, k=5, n_lists=8, n_probe=6)
+    approx = ivf_ann_topk(
+        e, q, k=5, n_lists=8, n_probe=6,
+        centroids=_ivf_trained_centroids(spark, sf_dir),
+    )
     return _ann_recall_row(spark, sf_dir, approx)
 
 
@@ -3450,6 +3559,7 @@ QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
     "ann_lsh_topk": (ann_lsh_topk, ORACLE_ANN_LSH_TOPK),
     "ann_ivf_topk": (ann_ivf_topk, ORACLE_ANN_IVF_TOPK),
+    "ann_ivf_train": (ann_ivf_train, ORACLE_ANN_IVF_TRAIN),
     "ann_lsh_recall": (ann_lsh_recall, ORACLE_ANN_RECALL),
     "ann_ivf_recall": (ann_ivf_recall, ORACLE_ANN_RECALL),
     "media_decode": (media_decode, ORACLE_MEDIA_DECODE),

@@ -116,3 +116,29 @@ def test_media_embed_neardup_checkpoints_are_releasable(spark):
     assert release_long_lived_checkpoints(spark) == 0
     # the released ids are actually gone from the persistent map
     assert not (new & _persistent_rdd_ids(spark))
+
+
+def test_ivf_kmeans_training_moves_centroids(spark):
+    """The trained codebook must be a real Lloyd refinement: every
+    vector assigned (n_assigned sums to the corpus), and centroids
+    actually move off the sample init (else training is vacuous)."""
+    from pyspark.sql import functions as F
+
+    from datashare_extension_neo4j_spark.operators.similarity import (
+        kmeans_fixed_point,
+        quantize,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n_vec = e.count()
+    cents = kmeans_fixed_point(e, 8, iters=3).collect()
+    assert len(cents) == 8
+    assert sum(r["n_assigned"] for r in cents) == n_vec
+    init = {
+        r["vec_id"]: list(r["q"])
+        for r in e.where(F.col("vec_id") < 8)
+        .select("vec_id", quantize(F.col("embedding"), 1 << 16).alias("q"))
+        .collect()
+    }
+    moved = sum(1 for r in cents if list(r["cq"]) != init[r["list_id"]])
+    assert moved == 8, "every centroid should move off the sample init"
