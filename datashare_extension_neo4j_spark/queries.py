@@ -3157,6 +3157,191 @@ FROM documents
 """
 
 
+_BPE_ROUNDS = 4  # fixed merge rounds for the training consumable —
+# each round is one vocab-cardinality pair count + in-stream merge
+# application; the oracle unrolls one CTE block per round
+
+
+def bpe_train_merges(
+    spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS
+) -> DataFrame:
+    """Actual BPE merge TRAINING (Sennrich et al.) — not a
+    pre-tokenizer count like ``token_count_bpe``: iteratively pick the
+    corpus-wide most frequent adjacent symbol pair (weighted by word
+    frequency), merge every non-overlapping left-to-right occurrence,
+    repeat. Output = the learned merge table
+    ``(merge_round, left_sym, right_sym, pair_count)`` — the artifact
+    a tokenizer-training pipeline ships.
+
+    Semantics match the standard trainer: words tokenized on spaces,
+    symbols start as characters; pair counts include every adjacent
+    position; ties broken (count desc, left asc, right asc) —
+    deterministic; within a run of the same symbol (left == right)
+    merges apply at even run offsets (the non-overlapping
+    left-to-right rule: 'aaaa' + (a,a) → 'aa','aa').
+
+    Scale shape: the FIRST step collapses the corpus to the
+    word-frequency table (one corpus-scan groupBy — the classic BPE
+    trainer input), so every round's pair count, argmax, and merge
+    rewrite run on the VOCABULARY's character stream, not the corpus;
+    the winning pair rides as a broadcast one-row frame (no driver
+    collect — fully in-plan). Everything is windows + aggregations:
+    relational in both engines, so the oracle replays it exactly."""
+    from functools import reduce
+
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    w = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    syms = w.select(
+        "word",
+        "freq",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, length(word)),"
+                " i -> substring(word, i, 1))"
+            )
+        ).alias("pos", "sym"),
+    )
+    wnd = W.partitionBy("word").orderBy("pos")
+    out_rows = []
+    for r in range(1, rounds + 1):
+        e = syms.withColumn("nxt", F.lead("sym").over(wnd)).withColumn(
+            "rnsym",
+            F.row_number().over(
+                W.partitionBy("word", "sym").orderBy("pos")
+            ),
+        )
+        pairs = (
+            e.where(F.col("nxt").isNotNull())
+            .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.col("cnt").desc(), "a", "b").limit(1)
+        out_rows.append(
+            best.select(
+                F.lit(r).cast("int").alias("merge_round"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        f = e.crossJoin(F.broadcast(best)).withColumn(
+            "off",
+            F.row_number().over(
+                W.partitionBy(
+                    "word", "sym", F.col("pos") - F.col("rnsym")
+                ).orderBy("pos")
+            )
+            - 1,
+        )
+        g = f.withColumn(
+            "sel",
+            F.coalesce(
+                (F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b")),
+                F.lit(False),
+            )
+            & ((F.col("a") != F.col("b")) | (F.col("off") % 2 == 0)),
+        )
+        h = g.withColumn("selp", F.lag("sel", 1, False).over(wnd))
+        syms = h.where(~F.col("selp")).select(
+            "word",
+            "freq",
+            (F.row_number().over(wnd) - 1).alias("pos"),
+            F.when(F.col("sel"), F.concat("sym", "nxt"))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+    return reduce(DataFrame.unionByName, out_rows)
+
+
+def _bpe_oracle_sql() -> str:
+    """Unrolled DuckDB replay of ``bpe_train_merges`` round for round:
+    same word-frequency base, same windows (lead / run islands via
+    pos − row_number / lag), same (count desc, pair asc) argmax —
+    string order is binary codepoint order in both engines."""
+    parts = [
+        (
+            "w AS (\n"
+            "  SELECT word, CAST(count(*) AS BIGINT) AS freq\n"
+            "  FROM (SELECT unnest(string_split(text, ' ')) AS word"
+            " FROM documents)\n"
+            "  WHERE word != '' GROUP BY word\n)"
+        ),
+        (
+            "s0 AS (\n"
+            "  SELECT word, freq, pos - 1 AS pos,"
+            " substr(word, pos, 1) AS sym\n"
+            "  FROM (SELECT word, freq,\n"
+            "               unnest(generate_series(1, len(word))) AS pos\n"
+            "        FROM w)\n)"
+        ),
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        p = r - 1
+        parts.append(
+            f"e{r} AS (\n"
+            "  SELECT word, freq, pos, sym,\n"
+            "         lead(sym) OVER (PARTITION BY word ORDER BY pos)"
+            " AS nxt,\n"
+            "         row_number() OVER (PARTITION BY word, sym"
+            " ORDER BY pos) AS rnsym\n"
+            f"  FROM s{p}\n)"
+        )
+        parts.append(
+            f"p{r} AS (\n"
+            "  SELECT sym AS a, nxt AS b,"
+            " CAST(sum(freq) AS BIGINT) AS cnt\n"
+            f"  FROM e{r} WHERE nxt IS NOT NULL GROUP BY sym, nxt\n)"
+        )
+        parts.append(
+            f"b{r} AS (\n"
+            f"  SELECT a, b, cnt FROM p{r}"
+            " ORDER BY cnt DESC, a, b LIMIT 1\n)"
+        )
+        parts.append(
+            f"f{r} AS (\n"
+            "  SELECT e.word, e.freq, e.pos, e.sym, e.nxt, bb.a, bb.b,\n"
+            "         row_number() OVER (PARTITION BY e.word, e.sym,"
+            " e.pos - e.rnsym ORDER BY e.pos) - 1 AS off\n"
+            f"  FROM e{r} e CROSS JOIN b{r} bb\n)"
+        )
+        parts.append(
+            f"g{r} AS (\n"
+            "  SELECT *, coalesce(sym = a AND nxt = b, false)\n"
+            "            AND (a != b OR off % 2 = 0) AS sel\n"
+            f"  FROM f{r}\n)"
+        )
+        parts.append(
+            f"h{r} AS (\n"
+            "  SELECT *, lag(sel, 1, false) OVER (PARTITION BY word"
+            " ORDER BY pos) AS selp\n"
+            f"  FROM g{r}\n)"
+        )
+        parts.append(
+            f"s{r} AS (\n"
+            "  SELECT word, freq,\n"
+            "         row_number() OVER (PARTITION BY word ORDER BY pos)"
+            " - 1 AS pos,\n"
+            "         CASE WHEN sel THEN sym || nxt ELSE sym END AS sym\n"
+            f"  FROM h{r} WHERE NOT selp\n)"
+        )
+    sel_out = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS merge_round, a AS left_sym,"
+        f" b AS right_sym, cnt AS pair_count FROM b{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + sel_out
+
+
+ORACLE_BPE_TRAIN_MERGES = _bpe_oracle_sql()
+
+
 _WINNOW_K = 3  # words per k-gram
 _WINNOW_W = 4  # k-grams per window
 
@@ -3570,6 +3755,7 @@ QUERIES = {
     "lang_id": (lang_id, ORACLE_LANG_ID),
     "doc_fingerprint": (doc_fingerprint, ORACLE_DOC_FINGERPRINT),
     "token_count_bpe": (token_count_bpe, ORACLE_TOKEN_COUNT_BPE),
+    "bpe_train_merges": (bpe_train_merges, ORACLE_BPE_TRAIN_MERGES),
     "winnow_fingerprint": (winnow_fingerprint, ORACLE_WINNOW_FINGERPRINT),
     "gopher_quality": (gopher_quality, ORACLE_GOPHER_QUALITY),
     "stratified_sample": (stratified_sample, ORACLE_STRATIFIED_SAMPLE),

@@ -142,3 +142,31 @@ def test_ivf_kmeans_training_moves_centroids(spark):
     }
     moved = sum(1 for r in cents if list(r["cq"]) != init[r["list_id"]])
     assert moved == 8, "every centroid should move off the sample init"
+
+
+def test_bpe_train_merges_overlap_rule_and_empty_tail(spark, tmp_path):
+    """Standard BPE semantics on a pathological same-symbol corpus:
+    'aaaa' + best pair (a,a) merges at even run offsets only
+    ('aa','aa', never 'aa','a','a' or a triple), pair counts include
+    every adjacent position weighted by word freq, and rounds with no
+    pairs left emit no merge row."""
+    from datashare_extension_neo4j_spark.queries import bpe_train_merges
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "aaaa aaaa aa")], "doc_id long, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+    rows = sorted(
+        (
+            r["merge_round"],
+            r["left_sym"],
+            r["right_sym"],
+            r["pair_count"],
+        )
+        for r in bpe_train_merges(spark, sf).collect()
+    )
+    # round 1: (a,a) appears 3x in 'aaaa' (freq 2) + 1x in 'aa' = 7;
+    # merge -> ['aa','aa'] / ['aa'].  round 2: (aa,aa) once in 'aaaa'
+    # (freq 2) = 2; merge -> ['aaaa'] / ['aa'].  rounds 3-4: no
+    # adjacent pairs anywhere -> no rows.
+    assert rows == [(1, "a", "a", 7), (2, "aa", "aa", 2)]
