@@ -322,3 +322,37 @@ def dedup_within_watermark_stream(
     return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         [key_col]
     )
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(spark, changelog: bool = True) -> None:
+    """Production state-store configuration for the unbounded keyed
+    state these operators carry (``first_seen_stream`` and the band
+    buckets keep one entry per key FOREVER by design — the state IS
+    the corpus memory, so no TTL can apply without changing the dedup
+    semantics; a bounded-horizon feed should use
+    ``dedup_within_watermark_stream`` instead, whose state evicts with
+    the watermark).
+
+    The default HDFS-backed provider holds every state row in executor
+    HEAP — at web-corpus key cardinality that is an OOM, not a config
+    problem. RocksDB (bundled with Spark since 3.2) spills state to
+    executor-local disk with a bounded block cache, which is the only
+    deployment shape that survives an ever-growing key space.
+    ``changelog`` enables changelog checkpointing (upload per-batch
+    deltas instead of full snapshots — the production default for
+    large state). Takes effect for queries STARTED after the call; a
+    restarted query keeps the provider it was checkpointed with."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled",
+        "true" if changelog else "false",
+    )

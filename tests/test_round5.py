@@ -170,3 +170,50 @@ def test_bpe_train_merges_overlap_rule_and_empty_tail(spark, tmp_path):
     # (freq 2) = 2; merge -> ['aaaa'] / ['aa'].  rounds 3-4: no
     # adjacent pairs anywhere -> no rows.
     assert rows == [(1, "a", "a", 7), (2, "aa", "aa", 2)]
+
+
+def test_rocksdb_state_store_first_seen_dedup(spark, tmp_path):
+    """The production state-store path must actually work: the
+    first-seen dedup stream running on the RocksDB provider (bundled
+    with Spark), including a checkpointed restart that keeps state."""
+    from datashare_extension_neo4j_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        start_first_seen_dedup,
+        use_rocksdb_state_store,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    use_rocksdb_state_store(spark)
+    assert spark.conf.get(key) == ROCKSDB_PROVIDER
+    inp, out, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    try:
+        spark.createDataFrame(
+            [("k1", "d1", 10), ("k2", "d2", 11)],
+            "key string, doc_id string, ts long",
+        ).write.mode("append").parquet(inp)
+        q = start_first_seen_dedup(spark, inp, out, ck)
+        q.awaitTermination(120)
+        assert sorted(
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        ) == ["d1", "d2"]
+
+        # restart from checkpoint: k1 dup suppressed by RocksDB state
+        spark.createDataFrame(
+            [("k1", "d3", 20), ("k3", "d4", 21)],
+            "key string, doc_id string, ts long",
+        ).write.mode("append").parquet(inp)
+        q2 = start_first_seen_dedup(spark, inp, out, ck)
+        q2.awaitTermination(120)
+        assert sorted(
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        ) == ["d1", "d2", "d4"]
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
