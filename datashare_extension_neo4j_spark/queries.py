@@ -3754,8 +3754,8 @@ QUERIES = {
     "text_stats": (text_stats, ORACLE_TEXT_STATS),
     "lang_id": (lang_id, ORACLE_LANG_ID),
     "doc_fingerprint": (doc_fingerprint, ORACLE_DOC_FINGERPRINT),
-    "token_count_bpe": (token_count_bpe, ORACLE_TOKEN_COUNT_BPE),
     "bpe_train_merges": (bpe_train_merges, ORACLE_BPE_TRAIN_MERGES),
+    "token_count_bpe": (token_count_bpe, ORACLE_TOKEN_COUNT_BPE),
     "winnow_fingerprint": (winnow_fingerprint, ORACLE_WINNOW_FINGERPRINT),
     "gopher_quality": (gopher_quality, ORACLE_GOPHER_QUALITY),
     "stratified_sample": (stratified_sample, ORACLE_STRATIFIED_SAMPLE),
