@@ -24,6 +24,10 @@ locally. Subcommands:
                   prior; --kb links against an external entity KB)
   cut-substrings  documents → substring-deduped corpus parquet
                   (Lee-et-al. repeated k-token spans cut from text)
+  neardup-init    documents → persisted band-signature store (the
+                  incremental near-dup baseline)
+  neardup-increment  dedupe a NEW documents batch against the store
+                  (suppressed docs reported, survivors' bands appended)
 """
 
 from __future__ import annotations
@@ -289,6 +293,41 @@ def cmd_cut_substrings(args) -> int:
     return 0
 
 
+def cmd_neardup_init(args) -> int:
+    """Create the near-dup band-signature store from an accepted
+    corpus (documents parquet with doc_id + text)."""
+    from .sinks.neardup import init_neardup_store
+
+    spark = _spark(args.master)
+    docs = spark.read.parquet(args.docs).select("doc_id", "text")
+    n = init_neardup_store(spark, docs, args.store)
+    print(json.dumps({"store": args.store, "band_rows": n}))
+    return 0
+
+
+def cmd_neardup_increment(args) -> int:
+    """Dedupe a new documents batch against the persisted store;
+    writes kept docs (and the suppression map) as parquet."""
+    from .sinks.neardup import incremental_neardup
+
+    spark = _spark(args.master)
+    new_docs = spark.read.parquet(args.docs).select("doc_id", "text")
+    res = incremental_neardup(spark, new_docs, args.store)
+    res["kept"].write.mode("overwrite").parquet(f"{args.out}/kept")
+    res["dups"].write.mode("overwrite").parquet(f"{args.out}/dups")
+    print(
+        json.dumps(
+            {
+                "new": res["n_new"],
+                "suppressed": res["n_suppressed"],
+                "stored_band_rows": res["n_stored_rows"],
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="datashare_extension_neo4j_spark")
     p.add_argument("--master", default=None)
@@ -380,6 +419,21 @@ def main(argv: list[str] | None = None) -> int:
     cs.add_argument("--k", type=int, default=50,
                     help="token window width (50 = Lee-et-al. standard)")
     cs.set_defaults(fn=cmd_cut_substrings)
+
+    ni = sub.add_parser("neardup-init")
+    ni.add_argument("--docs", required=True,
+                    help="documents parquet (doc_id, text)")
+    ni.add_argument("--store", required=True,
+                    help="band-signature store path to create")
+    ni.set_defaults(fn=cmd_neardup_init)
+
+    nu = sub.add_parser("neardup-increment")
+    nu.add_argument("--docs", required=True,
+                    help="NEW documents parquet (doc_id, text)")
+    nu.add_argument("--store", required=True)
+    nu.add_argument("--out", required=True,
+                    help="writes kept/ and dups/ parquet under here")
+    nu.set_defaults(fn=cmd_neardup_increment)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -127,3 +127,31 @@ def test_cli_corpus_filter_consumables(spark, tmp_path, capsys):
     assert cut.where(
         "length(cleaned_text) > 0 and n_removed < 0"
     ).count() == 0
+
+
+def test_cli_neardup_store_cycle(spark, tmp_path, capsys):
+    """neardup-init then neardup-increment: dup suppressed against the
+    store, survivor appended, outputs written."""
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t3 = "iota kappa lambda mu nu xi omicron pi rho"
+    base = str(tmp_path / "base")
+    spark.createDataFrame(
+        [(1, t1)], "doc_id long, text string"
+    ).write.parquet(base)
+    store = str(tmp_path / "store")
+    assert main(["neardup-init", "--docs", base, "--store", store]) == 0
+    init = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert init["band_rows"] > 0
+
+    newb = str(tmp_path / "new")
+    spark.createDataFrame(
+        [(2, t1), (3, t3)], "doc_id long, text string"
+    ).write.parquet(newb)
+    out = str(tmp_path / "out")
+    assert main(["neardup-increment", "--docs", newb, "--store", store,
+                 "--out", out]) == 0
+    inc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert inc["new"] == 2 and inc["suppressed"] == 1
+    assert [r["doc_id"] for r in spark.read.parquet(f"{out}/kept").collect()] == [3]
+    dups = spark.read.parquet(f"{out}/dups").collect()
+    assert [(r["doc_id"], r["keeperDocId"]) for r in dups] == [(2, 1)]
