@@ -3189,6 +3189,18 @@ def bpe_train_merges(
     relational in both engines, so the oracle replays it exactly."""
     from functools import reduce
 
+    out_rows, _syms = _bpe_rounds(spark, sf_dir, rounds)
+    return reduce(DataFrame.unionByName, out_rows)
+
+
+def _bpe_rounds(
+    spark: SparkSession, sf_dir: str, rounds: int
+) -> tuple[list, DataFrame]:
+    """Shared BPE training loop: returns (per-round merge rows, final
+    per-word symbol stream (word, freq, pos, sym)) — consumed by
+    ``bpe_train_merges`` (the merge table), ``bpe_vocab`` (the symbol
+    vocabulary) and ``bpe_tokenize_stats`` (corpus token counts under
+    the trained merges)."""
     from pyspark.sql import Window as W
 
     d = _docs(spark, sf_dir)
@@ -3257,7 +3269,49 @@ def bpe_train_merges(
             .otherwise(F.col("sym"))
             .alias("sym"),
         )
-    return reduce(DataFrame.unionByName, out_rows)
+    return out_rows, syms
+
+
+def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The symbol VOCABULARY after the learned merges — the artifact a
+    tokenizer ships next to the merge table: every surviving symbol
+    with its corpus occurrence count (word frequency × in-word count)
+    and the number of distinct words containing it. Vocab-cardinality
+    output; same training loop as ``bpe_train_merges``."""
+    _rows, syms = _bpe_rounds(spark, sf_dir, _BPE_ROUNDS)
+    return syms.groupBy("sym").agg(
+        F.sum("freq").alias("n_occurrences"),
+        F.countDistinct("word").alias("n_words"),
+    )
+
+
+def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token counts UNDER the trained tokenizer — the number a
+    pretraining pipeline budgets with: per document, how many BPE
+    symbols its text tokenizes to after the learned merges (vs the
+    raw character count). Docs with no words count 0.
+
+    Scale shape: per-word symbol counts come from the vocab-sized
+    training stream (one groupBy on the distinct-word table); the only
+    corpus-scale work is the word explode + a join AGAINST that
+    vocab-sized count table (broadcastable at real scale) + one
+    per-doc sum."""
+    _rows, syms = _bpe_rounds(spark, sf_dir, _BPE_ROUNDS)
+    per_word = syms.groupBy("word").agg(
+        F.count("*").alias("n_syms")
+    )
+    d = _docs(spark, sf_dir)
+    doc_words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).where(F.col("word") != "")
+    counts = (
+        doc_words.join(per_word, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_syms").alias("_n"))
+    )
+    return d.select("doc_id").join(counts, "doc_id", "left").select(
+        "doc_id", F.coalesce("_n", F.lit(0)).cast("long").alias("n_tokens")
+    )
 
 
 def _bpe_oracle_sql() -> str:
@@ -3331,15 +3385,42 @@ def _bpe_oracle_sql() -> str:
             "         CASE WHEN sel THEN sym || nxt ELSE sym END AS sym\n"
             f"  FROM h{r} WHERE NOT selp\n)"
         )
-    sel_out = "\nUNION ALL\n".join(
+    return "WITH " + ",\n".join(parts)
+
+
+_BPE_CTES = _bpe_oracle_sql()
+
+ORACLE_BPE_TRAIN_MERGES = (
+    _BPE_CTES
+    + "\n"
+    + "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS INT) AS merge_round, a AS left_sym,"
         f" b AS right_sym, cnt AS pair_count FROM b{r}"
         for r in range(1, _BPE_ROUNDS + 1)
     )
-    return "WITH " + ",\n".join(parts) + "\n" + sel_out
+)
 
+ORACLE_BPE_VOCAB = f"""{_BPE_CTES}
+SELECT sym, CAST(sum(freq) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_words
+FROM s{_BPE_ROUNDS} GROUP BY sym
+"""
 
-ORACLE_BPE_TRAIN_MERGES = _bpe_oracle_sql()
+ORACLE_BPE_TOKENIZE_STATS = f"""{_BPE_CTES},
+pw AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_syms
+  FROM s{_BPE_ROUNDS} GROUP BY word
+),
+dw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+cnt AS (
+  SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n
+  FROM dw JOIN pw USING (word) WHERE word != '' GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN cnt USING (doc_id)
+"""
 
 
 _WINNOW_K = 3  # words per k-gram
@@ -3755,6 +3836,8 @@ QUERIES = {
     "lang_id": (lang_id, ORACLE_LANG_ID),
     "doc_fingerprint": (doc_fingerprint, ORACLE_DOC_FINGERPRINT),
     "bpe_train_merges": (bpe_train_merges, ORACLE_BPE_TRAIN_MERGES),
+    "bpe_vocab": (bpe_vocab, ORACLE_BPE_VOCAB),
+    "bpe_tokenize_stats": (bpe_tokenize_stats, ORACLE_BPE_TOKENIZE_STATS),
     "token_count_bpe": (token_count_bpe, ORACLE_TOKEN_COUNT_BPE),
     "winnow_fingerprint": (winnow_fingerprint, ORACLE_WINNOW_FINGERPRINT),
     "gopher_quality": (gopher_quality, ORACLE_GOPHER_QUALITY),
