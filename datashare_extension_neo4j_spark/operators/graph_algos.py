@@ -42,26 +42,24 @@ def _eager_checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
     localCheckpoint persists at the RDD level, below the SQL cache
     manager.
 
-    The snapshot-diff is serialized under a module lock so concurrent
-    iterative loops on one SparkSession can't claim each other's
-    checkpoint ids — but only the diff is: ``localCheckpoint`` marks
-    and REGISTERS the RDD (persist) at call time even when lazy, so
-    the lock covers two metadata reads plus the mark, and the
-    expensive part — the materialization job — runs outside it. A slow
-    checkpoint (e.g. a media embedding kernel) therefore no longer
-    blocks every other iterative loop on the session. Caveat: a
-    localCheckpoint issued OUTSIDE this helper inside the (tiny) diff
-    window would still be misattributed — keep iterative loops on
-    this helper."""
-    spark = df.sparkSession
-    with _CKPT_LOCK:
-        before = _persistent_rdd_ids(spark)
-        out = df.localCheckpoint(eager=False)
-        after = _persistent_rdd_ids(spark)
-    out.count()  # materialize outside the lock
-    if before is None or after is None:
-        return out, set()
-    return out, after - before
+    The persisted id is read DIRECTLY off the checkpointed Dataset's
+    plan (``LogicalRDD.rdd.id`` — the exact RDD ``localCheckpoint``
+    persisted), so attribution needs no lock and no persistent-map
+    snapshot-diff at all: concurrent iterative loops can checkpoint
+    simultaneously without claiming each other's blocks, and nothing
+    serializes on a slow materialization. (The earlier lazy-mark +
+    diff approach was defeated by AQE anyway: ``physicalPlan.execute``
+    materializes every shuffle stage synchronously inside the
+    ``localCheckpoint`` call, so the diff window held the lock for the
+    bulk of the job.) Falls back to empty ids (rotation becomes a
+    no-op) where the JVM plan is unreachable, e.g. Spark Connect."""
+    out = df.localCheckpoint(eager=False)
+    try:
+        ids = {int(out._jdf.queryExecution().analyzed().rdd().id())}
+    except Exception:  # pragma: no cover - connect/remote sessions
+        ids = set()
+    out.count()  # materialize (first action on the marked RDD)
+    return out, ids
 
 
 _LONG_LIVED_CKPT_IDS: dict[str, set[int]] = {}

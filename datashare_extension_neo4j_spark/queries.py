@@ -2579,6 +2579,8 @@ def kg_appears_in_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANN_BITS, _ANN_TABLES, _ANN_DIM, _ANN_K = 4, 8, 64, 5
 _IVF_LISTS, _IVF_PROBE = 8, 4
+_IVF_RECALL_PROBE = 6  # wider probe for the recall GATE (vs the
+# throughput-shaped _IVF_PROBE the topk consumable uses)
 
 _ORACLE_COSINE = (
     "CASE WHEN list_dot_product(CAST(qe.embedding AS DOUBLE[]), "
@@ -2897,7 +2899,8 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 gate for IVF ANN over the TRAINED codebook
-    (n_lists=8, n_probe=6 — measured 1.0 at sf0.001/sf0.01 vs the 0.8
+    (n_lists=_IVF_LISTS, n_probe=_IVF_RECALL_PROBE — measured 1.0 at
+    sf0.001/sf0.01 vs the 0.8
     bar, matching the pre-training gate)."""
     from .operators.similarity import ivf_ann_topk
 
@@ -2906,7 +2909,7 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
     approx = ivf_ann_topk(
-        e, q, k=5, n_lists=8, n_probe=6,
+        e, q, k=5, n_lists=_IVF_LISTS, n_probe=_IVF_RECALL_PROBE,
         centroids=_ivf_trained_centroids(spark, sf_dir),
     )
     return _ann_recall_row(spark, sf_dir, approx)
@@ -3243,7 +3246,13 @@ def _bpe_rounds(
                 F.col("cnt").alias("pair_count"),
             )
         )
-        f = e.crossJoin(F.broadcast(best)).withColumn(
+        # LEFT join on true, not a cross join: when the pair table is
+        # exhausted (every word fully merged) ``best`` is EMPTY, and a
+        # cross join would wipe the symbol stream — with the left join
+        # a/b come back null, sel is false everywhere, and the stream
+        # passes through unchanged (no merge row emitted, later rounds
+        # no-ops). The oracle mirrors with LEFT JOIN ON true.
+        f = e.join(F.broadcast(best), F.lit(True), "left").withColumn(
             "off",
             F.row_number().over(
                 W.partitionBy(
@@ -3363,7 +3372,7 @@ def _bpe_oracle_sql() -> str:
             "  SELECT e.word, e.freq, e.pos, e.sym, e.nxt, bb.a, bb.b,\n"
             "         row_number() OVER (PARTITION BY e.word, e.sym,"
             " e.pos - e.rnsym ORDER BY e.pos) - 1 AS off\n"
-            f"  FROM e{r} e CROSS JOIN b{r} bb\n)"
+            f"  FROM e{r} e LEFT JOIN b{r} bb ON true\n)"
         )
         parts.append(
             f"g{r} AS (\n"

@@ -21,8 +21,11 @@ distributed, so the store join shuffles evenly; a 100-TB corpus's
 store is ~n_bands rows per accepted doc (two 32-byte keys per doc at
 the defaults), orders of magnitude smaller than the corpus. Appends
 are blind (no read-modify-write): duplicate band rows from a retried
-append are harmless — suppression takes ``min(keeper)`` over
-matches — so job-level retry is safe without transactional writes.
+append are harmless — suppression takes ``min(keeper)`` over matches
+and a doc never matches ITSELF (self-matches are excluded in the
+store join, which is what keeps a re-run whose attempt-1 append
+already landed from suppressing its own survivors) — so job-level
+retry is safe without transactional writes.
 """
 
 from __future__ import annotations
@@ -89,10 +92,17 @@ def incremental_neardup(
     sigs, sig_ids = _eager_checkpoint(band_signatures(new_docs))
     _register_long_lived(spark, sig_ids)
     store = spark.read.parquet(store_path)
+    # self-matches excluded: a doc is never a duplicate of itself.
+    # This is what makes a RE-RUN (or job retry after the append
+    # landed but before the caller consumed the outputs) idempotent —
+    # attempt 1's appended bands match attempt 2's same doc ids and
+    # would otherwise suppress every previously-kept doc against
+    # itself, silently emptying the kept output.
     dups = (
         sigs.join(
             store.withColumnRenamed("doc_id", "keeperDocId"), "band"
         )
+        .where(F.col("keeperDocId") != F.col("doc_id"))
         .groupBy("doc_id")
         .agg(F.min("keeperDocId").alias("keeperDocId"))
     )

@@ -92,3 +92,30 @@ def test_store_bands_match_batch_path(spark, tmp_path):
     for r in band_signatures(_df(spark, list(pdf.itertuples(index=False)))).collect():
         store.setdefault(r["doc_id"], set()).add(r["band"])
     assert store == batch
+
+
+def test_incremental_neardup_rerun_is_idempotent(spark, tmp_path):
+    """A re-run of the same increment AFTER its append landed (job
+    retry, driver crash between append and output consumption) must
+    keep the same docs — attempt 1's bands in the store are the same
+    doc ids, and without self-match exclusion they would suppress
+    every previously-kept doc against itself."""
+    from datashare_extension_neo4j_spark.sinks.neardup import (
+        incremental_neardup,
+        init_neardup_store,
+    )
+
+    store_path = str(tmp_path / "store")
+    init_neardup_store(spark, _df(spark, [(1, T1)]), store_path)
+    batch = [(3, T2), (4, T3)]
+    res1 = incremental_neardup(spark, _df(spark, batch), store_path)
+    assert sorted(r["doc_id"] for r in res1["kept"].collect()) == [3, 4]
+    # retry the SAME batch: same kept set, no self-suppression
+    res2 = incremental_neardup(spark, _df(spark, batch), store_path)
+    assert sorted(r["doc_id"] for r in res2["kept"].collect()) == [3, 4]
+    assert res2["n_suppressed"] == 0
+    # real dups still suppressed afterwards
+    res3 = incremental_neardup(spark, _df(spark, [(5, T3)]), store_path)
+    assert [(r["doc_id"], r["keeperDocId"]) for r in res3["dups"].collect()] == [
+        (5, 4)
+    ]

@@ -69,29 +69,32 @@ def test_band_bucket_existing_state_wins_and_empty_batch_noop():
     assert state.get == ("k", 0)
 
 
-def test_lazy_local_checkpoint_registers_before_materialization(spark):
-    """The narrow-lock fix in _eager_checkpoint depends on
-    localCheckpoint(eager=False) REGISTERING the RDD in the persistent
-    map at call time (persist happens at mark time, the job later) —
-    guard that Spark behavior, since the snapshot-diff is only valid
-    under the lock if registration is synchronous."""
+def test_eager_checkpoint_attributes_exact_rdd_id(spark):
+    """_eager_checkpoint reads the persisted id DIRECTLY off the
+    checkpointed Dataset's LogicalRDD (no lock, no persistent-map
+    diff) — the returned id must be exactly the id localCheckpoint
+    registered, two concurrent-ish checkpoints must attribute
+    DISTINCT ids, and releasing must actually evict the blocks."""
     from datashare_extension_neo4j_spark.operators.graph_algos import (
+        _eager_checkpoint,
         _persistent_rdd_ids,
-    )
-
-    df = spark.range(10)
-    before = _persistent_rdd_ids(spark)
-    lazy = df.localCheckpoint(eager=False)
-    after = _persistent_rdd_ids(spark)
-    new = after - before
-    assert new, "lazy localCheckpoint must register its RDD immediately"
-    lazy.count()
-    # cleanup
-    from datashare_extension_neo4j_spark.operators.graph_algos import (
         _unpersist_rdd_ids,
     )
 
-    _unpersist_rdd_ids(spark, new)
+    before = _persistent_rdd_ids(spark)
+    # shuffle-bearing plans (the helper's real workload — AQE
+    # materializes their stages inside the localCheckpoint call)
+    df_a = spark.range(100).selectExpr("id % 7 AS k").groupBy("k").count()
+    df_b = spark.range(50).selectExpr("id % 3 AS k").groupBy("k").count()
+    out_a, ids_a = _eager_checkpoint(df_a)
+    out_b, ids_b = _eager_checkpoint(df_b)
+    assert len(ids_a) == 1 and len(ids_b) == 1
+    assert ids_a != ids_b
+    persisted = _persistent_rdd_ids(spark) - before
+    assert ids_a <= persisted and ids_b <= persisted
+    assert out_a.count() == 7 and out_b.count() == 3
+    _unpersist_rdd_ids(spark, ids_a | ids_b)
+    assert not ((ids_a | ids_b) & _persistent_rdd_ids(spark))
 
 
 def test_media_embed_neardup_checkpoints_are_releasable(spark):
@@ -217,3 +220,29 @@ def test_rocksdb_state_store_first_seen_dedup(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prior)
+
+
+def test_bpe_survives_merge_exhaustion(spark, tmp_path):
+    """When every word fully merges before the round budget runs out,
+    later rounds must pass the symbol stream through unchanged — a
+    cross join against the EMPTY best-pair frame used to wipe it,
+    making bpe_vocab empty and every token count 0 (and the oracle
+    replicated the same bug, so parity couldn't catch it)."""
+    from datashare_extension_neo4j_spark.queries import (
+        bpe_tokenize_stats,
+        bpe_vocab,
+    )
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "aaaa aaaa aa"), (2, "ab ab")], "doc_id long, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+    vocab = sorted(
+        (r["sym"], r["n_occurrences"]) for r in bpe_vocab(spark, sf).collect()
+    )
+    assert vocab == [("aa", 1), ("aaaa", 2), ("ab", 2)]
+    toks = sorted(
+        (r["doc_id"], r["n_tokens"])
+        for r in bpe_tokenize_stats(spark, sf).collect()
+    )
+    assert toks == [(1, 3), (2, 2)]
