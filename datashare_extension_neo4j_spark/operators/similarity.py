@@ -201,6 +201,135 @@ def _with_lsh_signatures(
     )
 
 
+def _centroids_df(spark, centroids: list[list[float]]) -> DataFrame:
+    """Centroids as broadcast DATA (one-row cross join), never plan
+    literals — at n_lists·dim scale a literal array would bloat every
+    serialized task; here the plan stays O(1). Centroids are quantized
+    IN THE PLAN (JVM round, not Python round, which is half-even and
+    would diverge from a SQL oracle at exact halves)."""
+    return spark.createDataFrame(
+        [([{"list_id": i, "c": c} for i, c in enumerate(centroids)],)],
+        "_cents array<struct<list_id:int,c:array<double>>>",
+    ).select(
+        F.transform(
+            F.col("_cents"),
+            lambda s: F.struct(
+                s.getField("list_id").alias("list_id"),
+                quantize(s.getField("c"), IVF_SCALE).alias("cq"),
+            ),
+        ).alias("_cents")
+    )
+
+
+def _nearest_lists(n: int) -> Column:
+    """ids of the n closest centroids (expects ``_vq``/``_cents``
+    columns in scope) — exact integer L2 over the quantized vector,
+    ties broken by list_id: every comparison is engine-reproducible."""
+    dists = F.transform(
+        F.col("_cents"),
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("_vq"),
+                    s.getField("cq"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            s.getField("list_id").alias("list_id"),
+        ),
+    )
+    return F.slice(F.array_sort(dists), 1, n)
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment: the input columns plus ``list_id``.
+    Map-only — the codebook rides as one broadcast row, so assignment
+    is a scan-shaped stage with no shuffle at any corpus size."""
+    return (
+        vectors.withColumn("_vq", quantize(F.col(vec_col), IVF_SCALE))
+        .crossJoin(F.broadcast(_centroids_df(vectors.sparkSession, centroids)))
+        .select(
+            *vectors.columns,
+            F.element_at(_nearest_lists(1), 1)
+            .getField("list_id")
+            .alias("list_id"),
+        )
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.4,
+    keeper_cap: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with a (pre-trained) k-means codebook, then treat
+    within-cluster pairs with cosine ≥ ``threshold`` as semantic
+    duplicates and keep the lowest id of each group. LLM-pipeline
+    extension beyond the reference surface (brief: embedding-cosine
+    near-dup at corpus scale).
+
+    Scale shape: the cluster id is the blocking key — candidate
+    generation is a bucket join on ``list_id``, never an all-pairs
+    product, and the assignment stage is map-only (broadcast
+    codebook). The cross-cluster pair a true SemDeDup run would also
+    miss is the algorithm's documented approximation; choosing
+    ``n_lists ~ sqrt(N)`` keeps clusters O(sqrt(N)). ``keeper_cap``
+    bounds the degenerate case (one cluster swallowing the corpus):
+    each row is compared only against the ``keeper_cap`` lowest-id
+    members of its cluster, so the join fans out at most
+    |cluster|·cap rows — same discipline as the hot-bucket caps on
+    the MinHash/bigram blocked paths, and mirrored in the DuckDB
+    oracle. Suppression keeps min-id-wins deterministic; the exact
+    cosine runs in doubles on the ORIGINAL vectors, rounded to 6dp so
+    the threshold comparison is engine-reproducible.
+
+    Returns every input row: (vec_id, list_id, keeperVecId, kept).
+    """
+    a = kmeans_assign(vectors, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        "list_id",
+    )
+    keepers = (
+        a.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("list_id").orderBy("vec_id")),
+        )
+        .where(F.col("rn") <= keeper_cap)
+        .select(
+            "list_id",
+            F.col("vec_id").alias("kid"),
+            F.col("v").alias("kv"),
+        )
+    )
+    suppressed = (
+        a.join(keepers, "list_id")
+        .where(F.col("kid") < F.col("vec_id"))
+        .where(
+            F.round(cosine(F.col("kv"), F.col("v")), 6) >= threshold
+        )
+        .groupBy("vec_id")
+        .agg(F.min("kid").alias("keeperVecId"))
+    )
+    return a.join(suppressed, "vec_id", "left").select(
+        "vec_id",
+        "list_id",
+        "keeperVecId",
+        F.col("keeperVecId").isNull().alias("kept"),
+    )
+
+
 def ivf_ann_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -232,53 +361,14 @@ def ivf_ann_topk(
         km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
         centroids = [[float(x) for x in c] for c in km.clusterCenters()]
 
-    # centroids as broadcast DATA (one-row cross join), never plan
-    # literals — at n_lists·dim scale a literal array would bloat every
-    # serialized task; here the plan stays O(1). Centroids are
-    # quantized IN THE PLAN (JVM round, not Python round, which is
-    # half-even and would diverge from a SQL oracle at exact halves).
-    spark = vectors.sparkSession
-    cents_df = spark.createDataFrame(
-        [([{"list_id": i, "c": c} for i, c in enumerate(centroids)],)],
-        "_cents array<struct<list_id:int,c:array<double>>>",
-    ).select(
-        F.transform(
-            F.col("_cents"),
-            lambda s: F.struct(
-                s.getField("list_id").alias("list_id"),
-                quantize(s.getField("c"), IVF_SCALE).alias("cq"),
-            ),
-        ).alias("_cents")
-    )
-
-    def nearest_lists(n: int) -> Column:
-        """ids of the n closest centroids — exact integer L2 over the
-        quantized vector (``_vq``), ties broken by list_id: every
-        comparison is engine-reproducible."""
-        dists = F.transform(
-            F.col("_cents"),
-            lambda s: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("_vq"),
-                        s.getField("cq"),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                s.getField("list_id").alias("list_id"),
-            ),
-        )
-        return F.slice(F.array_sort(dists), 1, n)
-
+    cents_df = _centroids_df(vectors.sparkSession, centroids)
     v = (
         vectors.withColumn("_vq", quantize(F.col(vec_col), IVF_SCALE))
         .crossJoin(F.broadcast(cents_df))
         .select(
             F.col(id_col).alias("nid"),
             F.col(vec_col).alias("nv"),
-            F.element_at(nearest_lists(1), 1)
+            F.element_at(_nearest_lists(1), 1)
             .getField("list_id")
             .alias("list_id"),
         )
@@ -291,7 +381,7 @@ def ivf_ann_topk(
             "qv",
             F.explode(
                 F.transform(
-                    nearest_lists(n_probe), lambda s: s.getField("list_id")
+                    _nearest_lists(n_probe), lambda s: s.getField("list_id")
                 )
             ).alias("list_id"),
         )

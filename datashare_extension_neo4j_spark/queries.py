@@ -2923,6 +2923,74 @@ FROM embeddings WHERE vec_id < 10
 """
 
 
+_SEMDEDUP_T, _SEMDEDUP_CAP = 0.4, 64  # threshold tuned for the random
+# synthetic embeddings (real corpora use ~0.95); cap = per-cluster
+# keeper-candidate bound (hot-cluster discipline, oracle-mirrored)
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: the
+    TRAINED fixed-point k-means codebook (``ann_ivf_train``'s
+    centroids) clusters the space; within-cluster cosine ≥ T pairs are
+    semantic duplicates, min-id keeper wins. Candidate generation is a
+    bucket join on the cluster id with a keeper-candidate cap — the
+    corpus-scale shape (no all-pairs anywhere)."""
+    from .operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _emb(spark, sf_dir),
+        _ivf_trained_centroids(spark, sf_dir),
+        threshold=_SEMDEDUP_T,
+        keeper_cap=_SEMDEDUP_CAP,
+    )
+
+
+_SEMDEDUP_COS = (
+    "CASE WHEN list_dot_product(k.kv, k.kv) > 0 "
+    "AND list_dot_product(v.v, v.v) > 0 "
+    "THEN round(list_dot_product(k.kv, v.v) / "
+    "(sqrt(list_dot_product(k.kv, k.kv)) * "
+    "sqrt(list_dot_product(v.v, v.v))), 6) END"
+)
+
+ORACLE_DEDUP_SEMANTIC = f"""
+WITH {_ivf_train_ctes()},
+da AS (
+  SELECT v.vec_id, c.list_id,
+         list_dot_product(v.vq, v.vq)
+         - 2 * list_dot_product(v.vq, c.cq)
+         + list_dot_product(c.cq, c.cq) AS d
+  FROM vq v CROSS JOIN c{_IVF_KM_ITERS} c
+),
+asg AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+    FROM da
+  ) WHERE rn = 1
+),
+m AS (
+  SELECT a.vec_id, a.list_id, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM asg a JOIN embeddings e USING (vec_id)
+),
+kk AS (
+  SELECT list_id, vec_id AS kid, v AS kv,
+         row_number() OVER (PARTITION BY list_id ORDER BY vec_id) AS rn
+  FROM m
+),
+sup AS (
+  SELECT v.vec_id, min(k.kid) AS "keeperVecId"
+  FROM m v JOIN kk k USING (list_id)
+  WHERE k.rn <= {_SEMDEDUP_CAP} AND k.kid < v.vec_id
+    AND {_SEMDEDUP_COS} >= {_SEMDEDUP_T}
+  GROUP BY v.vec_id
+)
+SELECT m.vec_id, m.list_id, sup."keeperVecId",
+       sup."keeperVecId" IS NULL AS kept
+FROM m LEFT JOIN sup USING (vec_id)
+"""
+
+
 def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents → synthetic binary image column
     → mapInPandas decode (deterministic fake kernel). The decode
@@ -3826,6 +3894,7 @@ QUERIES = {
     "dedup_substring_apply": (
         dedup_substring_apply, ORACLE_DEDUP_SUBSTRING_APPLY,
     ),
+    "dedup_semantic": (dedup_semantic, ORACLE_DEDUP_SEMANTIC),
     "quality_score": (quality_score, ORACLE_QUALITY_SCORE),
     "events_sessionize": (events_sessionize, ORACLE_EVENTS_SESSIONIZE),
     "events_funnel": (events_funnel, ORACLE_EVENTS_FUNNEL),
