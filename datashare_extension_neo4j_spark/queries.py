@@ -2530,6 +2530,78 @@ FROM documents
 """
 
 
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrubbing stage a webtext
+    training pipeline runs before tokenization. The synthetic corpus
+    has no natural PII, so each doc's text is augmented with
+    deterministic doc_id-derived PII (an email, an IPv4, a phone on
+    every third doc, and a word-boundary decoy ``a1.2.3.4`` that must
+    NOT match) identically in both engines; then per-type match
+    counts and the fully redacted text. All JVM regex — whole-stage
+    codegen, zero shuffle (the 100-TB shape for a scan-wide scrub)."""
+    from .functions.pii import EMAIL_RE, IPV4_RE, PHONE_RE, pii_count, redact_pii
+
+    d = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" call +1 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit(" no phone a1.2.3.4")),
+    )
+    return d.select(
+        "doc_id",
+        pii_count(aug, EMAIL_RE).alias("nEmails"),
+        pii_count(aug, IPV4_RE).alias("nIps"),
+        pii_count(aug, PHONE_RE).alias("nPhones"),
+        redact_pii(aug).alias("redacted"),
+    )
+
+
+def _oracle_pii() -> str:
+    """Generated PII oracle: the same augmentation + the same rules
+    (patterns live in the Java-regex ∩ RE2 common subset, so DuckDB
+    replays the matches byte-identically; replacements are chained in
+    PII_RULES order with the 'g' flag — DuckDB replaces only the
+    first match without it)."""
+    from .functions.pii import EMAIL_RE, IPV4_RE, PHONE_RE, PII_RULES
+
+    red = "t"
+    for pattern, placeholder in PII_RULES:
+        red = f"regexp_replace({red}, '{pattern}', '{placeholder}', 'g')"
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id || '@example.com via 10.'
+    || (doc_id % 256) || '.0.1'
+    || CASE WHEN doc_id % 3 = 0
+       THEN ' call +1 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+            || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       ELSE ' no phone a1.2.3.4' END AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(length(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS "nEmails",
+  CAST(length(regexp_extract_all(t, '{IPV4_RE}')) AS BIGINT) AS "nIps",
+  CAST(length(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS "nPhones",
+  {red} AS redacted
+FROM aug
+"""
+
+
+ORACLE_PII_SCRUB = _oracle_pii()
+
+
 def kg_appears_in_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: two-level salted APPEARS_IN aggregation for degree-heavy
     keys — partial agg on (key, salt) collapses hot mentionNorms
@@ -3853,7 +3925,6 @@ QUERIES = {
     "kg_mentions": (kg_mentions, ORACLE_KG_MENTIONS),
     "kg_entities": (kg_entities, ORACLE_KG_ENTITIES),
     "kg_appears_in": (kg_appears_in, ORACLE_KG_APPEARS_IN),
-    "kg_appears_in_salted": (kg_appears_in_salted, ORACLE_KG_APPEARS_IN),
     "kg_email_edges": (kg_email_edges, ORACLE_KG_EMAIL_EDGES),
     "kg_triples": (kg_triples, ORACLE_KG_TRIPLES),
     "kg_semi_join": (kg_semi_join, ORACLE_KG_SEMI_JOIN),
@@ -3861,7 +3932,6 @@ QUERIES = {
     "kg_dump_default": (kg_dump_default, ORACLE_KG_DUMP_DEFAULT),
     "kg_full_pipeline": (kg_full_pipeline, ORACLE_KG_FULL_PIPELINE),
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
-    "dedup_exact_assign": (dedup_exact_assign, ORACLE_DEDUP_EXACT_ASSIGN),
     "dedup_wordset": (dedup_wordset, ORACLE_DEDUP_WORDSET),
     "dedup_minhash_sig": (dedup_minhash_sig, ORACLE_DEDUP_MINHASH_SIG),
     "dedup_minhash_pairs": (dedup_minhash_pairs, ORACLE_DEDUP_MINHASH_PAIRS),
@@ -3896,6 +3966,7 @@ QUERIES = {
     ),
     "dedup_semantic": (dedup_semantic, ORACLE_DEDUP_SEMANTIC),
     "quality_score": (quality_score, ORACLE_QUALITY_SCORE),
+    "pii_scrub": (pii_scrub, ORACLE_PII_SCRUB),
     "events_sessionize": (events_sessionize, ORACLE_EVENTS_SESSIONIZE),
     "events_funnel": (events_funnel, ORACLE_EVENTS_FUNNEL),
     "events_retention": (events_retention, ORACLE_EVENTS_RETENTION),
@@ -3904,18 +3975,23 @@ QUERIES = {
     "ann_lsh_topk": (ann_lsh_topk, ORACLE_ANN_LSH_TOPK),
     "ann_ivf_topk": (ann_ivf_topk, ORACLE_ANN_IVF_TOPK),
     "ann_ivf_train": (ann_ivf_train, ORACLE_ANN_IVF_TRAIN),
-    "ann_lsh_recall": (ann_lsh_recall, ORACLE_ANN_RECALL),
     "ann_ivf_recall": (ann_ivf_recall, ORACLE_ANN_RECALL),
     "media_decode": (media_decode, ORACLE_MEDIA_DECODE),
     "media_embed_neardup": (media_embed_neardup, ORACLE_MEDIA_EMBED_NEARDUP),
     "embed_neardup": (embed_neardup, ORACLE_EMBED_NEARDUP),
-    "embed_quantize_stats": (embed_quantize_stats, ORACLE_EMBED_QUANTIZE_STATS),
     "text_stats": (text_stats, ORACLE_TEXT_STATS),
     "lang_id": (lang_id, ORACLE_LANG_ID),
     "doc_fingerprint": (doc_fingerprint, ORACLE_DOC_FINGERPRINT),
     "bpe_train_merges": (bpe_train_merges, ORACLE_BPE_TRAIN_MERGES),
     "bpe_vocab": (bpe_vocab, ORACLE_BPE_VOCAB),
     "bpe_tokenize_stats": (bpe_tokenize_stats, ORACLE_BPE_TOKENIZE_STATS),
+    # ---- entries below sit past the driver's 50-slot correctness
+    # window (variants, gates, and generic demos); every one is still
+    # oracle-verified each run by tests/test_oracle_parity.py
+    "kg_appears_in_salted": (kg_appears_in_salted, ORACLE_KG_APPEARS_IN),
+    "dedup_exact_assign": (dedup_exact_assign, ORACLE_DEDUP_EXACT_ASSIGN),
+    "ann_lsh_recall": (ann_lsh_recall, ORACLE_ANN_RECALL),
+    "embed_quantize_stats": (embed_quantize_stats, ORACLE_EMBED_QUANTIZE_STATS),
     "token_count_bpe": (token_count_bpe, ORACLE_TOKEN_COUNT_BPE),
     "winnow_fingerprint": (winnow_fingerprint, ORACLE_WINNOW_FINGERPRINT),
     "gopher_quality": (gopher_quality, ORACLE_GOPHER_QUALITY),
