@@ -1134,6 +1134,116 @@ WHERE d.doc_id % 20 != 0
 """
 
 
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation verdict — the per-document provenance
+    table a training-data pipeline materializes once and every
+    downstream job filters on. Chains the stages in their canonical
+    order (eval-slice exclusion → quality gate → exact dedup →
+    MinHash near-dup → benchmark decontamination) and reports, per
+    doc: each stage's flag, the FIRST failing stage (``dropReason``,
+    null when curated), the final ``curated`` bit, and the token
+    count the doc contributes to the training budget if kept.
+
+    Scale shape: the quality gate and token count are in-row; exact
+    dedup is one window over the 16-byte content hash; the near-dup
+    and contamination verdicts join in from their own
+    blocked/broadcast-shaped stages (no new shuffle class appears
+    here — composition adds only doc_id equi-joins, which AQE sizes).
+    """
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    exact_keep = F.min("doc_id").over(
+        W.partitionBy(F.md5(F.col("text")))
+    )
+    base = d.select(
+        "doc_id",
+        (F.col("doc_id") % 20 == 0).alias("inEvalSet"),
+        (F.col("n_chars") >= 100).alias("qualityPass"),
+        (F.col("doc_id") == exact_keep).alias("exactKept"),
+        F.size(toks).cast("long").alias("nTokens"),
+    )
+    near = dedup_minhash_assign(spark, sf_dir).select(
+        "doc_id", F.col("isKept").alias("nearDupKept")
+    )
+    contam = decontaminate_ngram(spark, sf_dir).select(
+        "doc_id", "isContaminated"
+    )
+    j = (
+        base.join(near, "doc_id")
+        .join(contam, "doc_id", "left")
+        .withColumn(
+            "contaminated", F.coalesce("isContaminated", F.lit(False))
+        )
+    )
+    drop_reason = (
+        F.when(F.col("inEvalSet"), "evalSlice")
+        .when(~F.col("qualityPass"), "quality")
+        .when(~F.col("exactKept"), "exactDup")
+        .when(~F.col("nearDupKept"), "nearDup")
+        .when(F.col("contaminated"), "contaminated")
+    )
+    return j.select(
+        "doc_id",
+        "inEvalSet",
+        "qualityPass",
+        "exactKept",
+        "nearDupKept",
+        "contaminated",
+        drop_reason.alias("dropReason"),
+        drop_reason.isNull().alias("curated"),
+        F.when(drop_reason.isNull(), F.col("nTokens"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("curatedTokens"),
+    )
+
+
+# stage oracles nested verbatim — the composition must replay the
+# exact verdicts of the stages it chains
+ORACLE_CURATE_CORPUS = f"""
+WITH near AS (
+  {ORACLE_DEDUP_MINHASH_ASSIGN}
+), contam AS (
+  {ORACLE_DECONTAMINATE_NGRAM}
+), base AS (
+  SELECT doc_id,
+         doc_id % 20 = 0 AS inEvalSet,
+         n_chars >= 100 AS qualityPass,
+         doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS exactKept,
+         CAST(len(list_filter(string_split(text, ' '), t -> t != ''))
+              AS BIGINT) AS nTokens
+  FROM documents
+), j AS (
+  SELECT b.*, n.isKept AS nearDupKept,
+         coalesce(c.isContaminated, false) AS contaminated
+  FROM base b
+  JOIN near n USING (doc_id)
+  LEFT JOIN contam c USING (doc_id)
+)
+SELECT doc_id, inEvalSet, qualityPass, exactKept, nearDupKept,
+       contaminated,
+       CASE WHEN inEvalSet THEN 'evalSlice'
+            WHEN NOT qualityPass THEN 'quality'
+            WHEN NOT exactKept THEN 'exactDup'
+            WHEN NOT nearDupKept THEN 'nearDup'
+            WHEN contaminated THEN 'contaminated' END AS dropReason,
+       CASE WHEN inEvalSet THEN 'evalSlice'
+            WHEN NOT qualityPass THEN 'quality'
+            WHEN NOT exactKept THEN 'exactDup'
+            WHEN NOT nearDupKept THEN 'nearDup'
+            WHEN contaminated THEN 'contaminated' END IS NULL AS curated,
+       CAST(CASE WHEN CASE WHEN inEvalSet THEN 'evalSlice'
+            WHEN NOT qualityPass THEN 'quality'
+            WHEN NOT exactKept THEN 'exactDup'
+            WHEN NOT nearDupKept THEN 'nearDup'
+            WHEN contaminated THEN 'contaminated' END IS NULL
+            THEN nTokens ELSE 0 END AS BIGINT) AS curatedTokens
+FROM j
+"""
+
+
 _COOC_CAP = 1000
 
 
@@ -3967,6 +4077,7 @@ QUERIES = {
     "dedup_semantic": (dedup_semantic, ORACLE_DEDUP_SEMANTIC),
     "quality_score": (quality_score, ORACLE_QUALITY_SCORE),
     "pii_scrub": (pii_scrub, ORACLE_PII_SCRUB),
+    "curate_corpus": (curate_corpus, ORACLE_CURATE_CORPUS),
     "events_sessionize": (events_sessionize, ORACLE_EVENTS_SESSIONIZE),
     "events_funnel": (events_funnel, ORACLE_EVENTS_FUNNEL),
     "events_retention": (events_retention, ORACLE_EVENTS_RETENTION),
@@ -3976,7 +4087,6 @@ QUERIES = {
     "ann_ivf_topk": (ann_ivf_topk, ORACLE_ANN_IVF_TOPK),
     "ann_ivf_train": (ann_ivf_train, ORACLE_ANN_IVF_TRAIN),
     "ann_ivf_recall": (ann_ivf_recall, ORACLE_ANN_RECALL),
-    "media_decode": (media_decode, ORACLE_MEDIA_DECODE),
     "media_embed_neardup": (media_embed_neardup, ORACLE_MEDIA_EMBED_NEARDUP),
     "embed_neardup": (embed_neardup, ORACLE_EMBED_NEARDUP),
     "text_stats": (text_stats, ORACLE_TEXT_STATS),
@@ -3988,6 +4098,7 @@ QUERIES = {
     # ---- entries below sit past the driver's 50-slot correctness
     # window (variants, gates, and generic demos); every one is still
     # oracle-verified each run by tests/test_oracle_parity.py
+    "media_decode": (media_decode, ORACLE_MEDIA_DECODE),
     "kg_appears_in_salted": (kg_appears_in_salted, ORACLE_KG_APPEARS_IN),
     "dedup_exact_assign": (dedup_exact_assign, ORACLE_DEDUP_EXACT_ASSIGN),
     "ann_lsh_recall": (ann_lsh_recall, ORACLE_ANN_RECALL),

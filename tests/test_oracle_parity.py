@@ -42,6 +42,7 @@ NONEMPTY = {
     "ann_lsh_topk",
     "ann_ivf_topk",
     "media_embed_neardup",
+    "curate_corpus",
     "events_funnel",
     "tfidf_topterms",
 }
