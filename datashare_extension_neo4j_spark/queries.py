@@ -2270,6 +2270,44 @@ FROM documents
 """
 
 
+def classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (FineWeb-Edu / DCLM curation
+    step): linear model over hashed token features, scored in-row —
+    feature hashing makes the model fixed-width, so scoring is one
+    scan-shaped pass with ZERO shuffle (`functions/classifier.py`; a
+    trained weight table swaps in via ``score_with_weight_table``,
+    equality-tested). Integer weight sums, single rounded division —
+    no float accumulation order to diverge cross-engine."""
+    from .functions.classifier import quality_score_cols
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", *quality_score_cols(F.col("text")))
+
+
+ORACLE_CLASSIFIER_QUALITY = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t != '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS nTokens,
+         CAST(coalesce(list_sum(list_transform(toks,
+              t -> CAST('0x' || substr(md5(t), 9, 4) AS BIGINT) - 32768)),
+              0) AS BIGINT) AS scoreSum
+  FROM t
+)
+SELECT doc_id, nTokens, scoreSum,
+       CASE WHEN nTokens > 0
+            THEN round(scoreSum / (nTokens * 65536.0), 6)
+            ELSE 0.0 END AS qualityScore,
+       CASE WHEN nTokens > 0
+            THEN round(scoreSum / (nTokens * 65536.0), 6)
+            ELSE 0.0 END >= 0 AS passes
+FROM s
+"""
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function demo on the events stream table: sessions split
     on >30 min inactivity per user; per-session counts and value sums."""
@@ -4050,7 +4088,6 @@ QUERIES = {
         dedup_incremental_neardup, ORACLE_DEDUP_INCREMENTAL_NEARDUP,
     ),
     "decontaminate_ngram": (decontaminate_ngram, ORACLE_DECONTAMINATE_NGRAM),
-    "vocab_stats": (vocab_stats, ORACLE_VOCAB_STATS),
     "kg_entity_pagerank": (kg_entity_pagerank, ORACLE_KG_ENTITY_PAGERANK),
     "kg_entity_linking": (kg_entity_linking, ORACLE_KG_ENTITY_LINKING),
     "kg_linked_appears_in": (
@@ -4078,6 +4115,7 @@ QUERIES = {
     "quality_score": (quality_score, ORACLE_QUALITY_SCORE),
     "pii_scrub": (pii_scrub, ORACLE_PII_SCRUB),
     "curate_corpus": (curate_corpus, ORACLE_CURATE_CORPUS),
+    "classifier_quality": (classifier_quality, ORACLE_CLASSIFIER_QUALITY),
     "events_sessionize": (events_sessionize, ORACLE_EVENTS_SESSIONIZE),
     "events_funnel": (events_funnel, ORACLE_EVENTS_FUNNEL),
     "events_retention": (events_retention, ORACLE_EVENTS_RETENTION),
@@ -4099,6 +4137,7 @@ QUERIES = {
     # window (variants, gates, and generic demos); every one is still
     # oracle-verified each run by tests/test_oracle_parity.py
     "media_decode": (media_decode, ORACLE_MEDIA_DECODE),
+    "vocab_stats": (vocab_stats, ORACLE_VOCAB_STATS),
     "kg_appears_in_salted": (kg_appears_in_salted, ORACLE_KG_APPEARS_IN),
     "dedup_exact_assign": (dedup_exact_assign, ORACLE_DEDUP_EXACT_ASSIGN),
     "ann_lsh_recall": (ann_lsh_recall, ORACLE_ANN_RECALL),
