@@ -81,4 +81,51 @@ def start_graph_ingest(
     return writer.start()
 
 
-__all__ = ["stream_pages", "start_graph_ingest", "PARSED_SCHEMA"]
+def start_pii_scrub_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuous PII scrubbing of a landing document stream: the
+    SAME in-row rules as the batch ``pii_scrub`` query (the redaction
+    expressions are stateless JVM projections, so they compose into
+    ``readStream`` unchanged — bit-identical outputs to the batch
+    scrub, tested). Scrubbed docs append to parquet; the checkpoint
+    makes delivery exactly-once per input file."""
+    from pyspark.sql import functions as F
+
+    from ..functions.pii import EMAIL_RE, IPV4_RE, PHONE_RE, pii_count, redact_pii
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_path)
+    )
+    scrubbed = docs.select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("text"),
+        (
+            pii_count(F.col("text"), EMAIL_RE)
+            + pii_count(F.col("text"), IPV4_RE)
+            + pii_count(F.col("text"), PHONE_RE)
+        ).alias("nRedacted"),
+    )
+    writer = (
+        scrubbed.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+__all__ = [
+    "stream_pages",
+    "start_graph_ingest",
+    "start_pii_scrub_stream",
+    "PARSED_SCHEMA",
+]

@@ -65,6 +65,50 @@ def test_null_text_propagates(spark):
     assert row.r is None and row.ne is None and row.ni is None
 
 
+def test_streaming_scrub_matches_batch(spark, tmp_path):
+    """PII scrub as a continuous stage: streaming output must be
+    byte-identical to the batch redaction of the same rows, and a
+    second wave resumed from the checkpoint appends only new docs."""
+    from datashare_extension_neo4j_spark.streaming.ingest import (
+        start_pii_scrub_stream,
+    )
+
+    inp, out, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    wave1 = spark.createDataFrame(
+        [
+            (1, "mail a@b.co now"),
+            (2, "host 10.0.0.1 call +1 555-123-4567"),
+            (3, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    wave1.write.mode("append").parquet(inp)
+    start_pii_scrub_stream(spark, inp, out, ck).awaitTermination(120)
+    got1 = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    batch = {
+        r.doc_id: r
+        for r in wave1.select(
+            "doc_id",
+            redact_pii(F.col("text")).alias("text"),
+        ).collect()
+    }
+    assert len(got1) == 3
+    assert all(got1[i].text == batch[i].text for i in batch)
+    assert got1[2].nRedacted == 2 and got1[3].nRedacted == 0
+
+    spark.createDataFrame(
+        [(4, "late x@y.io")], "doc_id long, text string"
+    ).write.mode("append").parquet(inp)
+    start_pii_scrub_stream(spark, inp, out, ck).awaitTermination(120)
+    got2 = spark.read.parquet(out).collect()
+    assert len(got2) == 4  # wave-1 files not reprocessed
+    assert {r.text for r in got2 if r.doc_id == 4} == {"late <EMAIL>"}
+
+
 def test_pii_scrub_plan_is_scan_shaped(spark):
     """The registry query must stay a scan+project: no Exchange, no
     Python eval — the shape a 100-TB scrub pass requires."""
