@@ -2270,6 +2270,83 @@ FROM documents
 """
 
 
+_PACK_L = 128  # tokens per training sequence (2048 at production; 128
+# here so the short synthetic docs exercise boundary spanning)
+_PACK_SHARDS = 8  # at 100 TB this scales with the corpus (~tokens/L/
+# packs-per-task), keeping every packing window partition-local
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the final step of a pretraining data
+    pipeline: concatenate documents (in a deterministic order) and
+    chunk the token stream into fixed-length training sequences,
+    reporting where each document lands (pack index, offset, packs
+    spanned).
+
+    Scale shape: packing is a running total, and a GLOBAL running
+    total would be a single-partition window — the classic
+    non-distributable trap. Instead documents are sharded
+    (``doc_id % _PACK_SHARDS``; shard count grows with the corpus)
+    and each shard packs independently: one hash shuffle on the shard
+    key, every cumsum window partition-local, no global sort
+    anywhere. Training jobs already read packs shard-by-shard, so
+    per-shard pack ids are the consumable form."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    base = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(toks).cast("long").alias("nTokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("nTokens").over(w)
+    prev = cum - F.col("nTokens")
+    start_pack = F.floor(prev / _PACK_L)
+    end_pack = F.when(
+        F.col("nTokens") > 0, F.floor((cum - 1) / _PACK_L)
+    ).otherwise(start_pack)
+    return base.select(
+        "doc_id",
+        "shard",
+        "nTokens",
+        start_pack.cast("long").alias("packInShard"),
+        (prev % _PACK_L).cast("long").alias("offsetInPack"),
+        end_pack.cast("long").alias("endPackInShard"),
+        (end_pack > start_pack).alias("spansBoundary"),
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH base AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+         CAST(len(list_filter(string_split(text, ' '), t -> t != ''))
+              AS BIGINT) AS nTokens
+  FROM documents
+), c AS (
+  SELECT *,
+         sum(nTokens) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base
+)
+SELECT doc_id, shard, nTokens,
+       CAST((cum - nTokens) // {_PACK_L} AS BIGINT) AS packInShard,
+       CAST((cum - nTokens) % {_PACK_L} AS BIGINT) AS offsetInPack,
+       CAST(CASE WHEN nTokens > 0 THEN (cum - 1) // {_PACK_L}
+                 ELSE (cum - nTokens) // {_PACK_L} END
+            AS BIGINT) AS endPackInShard,
+       CASE WHEN nTokens > 0 THEN (cum - 1) // {_PACK_L}
+            ELSE (cum - nTokens) // {_PACK_L} END
+       > (cum - nTokens) // {_PACK_L} AS spansBoundary
+FROM c
+"""
+
+
 def classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (FineWeb-Edu / DCLM curation
     step): linear model over hashed token features, scored in-row —
@@ -4116,9 +4193,9 @@ QUERIES = {
     "pii_scrub": (pii_scrub, ORACLE_PII_SCRUB),
     "curate_corpus": (curate_corpus, ORACLE_CURATE_CORPUS),
     "classifier_quality": (classifier_quality, ORACLE_CLASSIFIER_QUALITY),
+    "pack_sequences": (pack_sequences, ORACLE_PACK_SEQUENCES),
     "events_sessionize": (events_sessionize, ORACLE_EVENTS_SESSIONIZE),
     "events_funnel": (events_funnel, ORACLE_EVENTS_FUNNEL),
-    "events_retention": (events_retention, ORACLE_EVENTS_RETENTION),
     "tfidf_topterms": (tfidf_topterms, ORACLE_TFIDF_TOPTERMS),
     "ann_cosine_topk": (ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
     "ann_lsh_topk": (ann_lsh_topk, ORACLE_ANN_LSH_TOPK),
@@ -4137,6 +4214,7 @@ QUERIES = {
     # window (variants, gates, and generic demos); every one is still
     # oracle-verified each run by tests/test_oracle_parity.py
     "media_decode": (media_decode, ORACLE_MEDIA_DECODE),
+    "events_retention": (events_retention, ORACLE_EVENTS_RETENTION),
     "vocab_stats": (vocab_stats, ORACLE_VOCAB_STATS),
     "kg_appears_in_salted": (kg_appears_in_salted, ORACLE_KG_APPEARS_IN),
     "dedup_exact_assign": (dedup_exact_assign, ORACLE_DEDUP_EXACT_ASSIGN),
