@@ -29,20 +29,39 @@ from pyspark.sql import functions as F
 WEIGHT_SCALE = 65536
 
 
-def token_weight(tok: Column) -> Column:
-    """Deterministic integer weight for one token: hex chars 9-12 of
-    md5(token) as an int in [0, 65536), centered at zero. Stands in
-    for a trained embedding-bucket weight; same bytes both engines."""
-    return (
-        F.conv(F.substring(F.md5(tok), 9, 4), 16, 10).cast("long")
-        - WEIGHT_SCALE // 2
+def _toks(text: Column) -> Column:
+    """Whitespace tokens, empty fields dropped; null text reads as
+    the empty document (the classifier has no length opinion — length
+    gates belong to the heuristic quality ops)."""
+    return F.filter(
+        F.split(F.coalesce(text, F.lit("")), " "), lambda t: t != ""
     )
+
+
+def token_bucket(tok: Column) -> Column:
+    """Feature-hash bucket for one token: hex chars 9-12 of
+    md5(token) — 16 bits, same bytes both engines."""
+    return F.substring(F.md5(tok), 9, 4)
+
+
+def bucket_weight(bucket: Column) -> Column:
+    """Deterministic integer weight for one bucket: the bucket hex as
+    an int in [0, 65536), centered at zero. Stands in for a trained
+    embedding-bucket weight; a pure function of the bucket, so
+    colliding tokens agree by construction."""
+    return F.conv(bucket, 16, 10).cast("long") - WEIGHT_SCALE // 2
+
+
+def token_weight(tok: Column) -> Column:
+    return bucket_weight(token_bucket(tok))
 
 
 def quality_score_cols(text: Column) -> list[Column]:
     """In-row linear-model scoring columns for one text column:
-    nTokens, integer weight sum, normalized 6dp score, pass flag."""
-    toks = F.filter(F.split(text, " "), lambda t: t != "")
+    nTokens, integer weight sum, normalized 6dp score, pass flag.
+    Null text scores like the empty document (0 tokens, score 0,
+    passes) — identical in the weight-table path and the oracle."""
+    toks = _toks(text)
     n = F.size(toks)
     ssum = F.aggregate(
         F.transform(toks, token_weight),
@@ -75,10 +94,9 @@ def score_with_weight_table(
     Returns (id_col, nTokens, scoreSum, qualityScore, passes) — the
     same schema as the in-plan scorer, so the two are swappable; with
     the md5-derived weight table they are EQUAL (tested)."""
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     exploded = docs.select(
-        F.col(id_col), F.explode(toks).alias("tok")
-    ).withColumn("bucket", F.substring(F.md5(F.col("tok")), 9, 4))
+        F.col(id_col), F.explode(_toks(F.col(text_col))).alias("tok")
+    ).withColumn("bucket", token_bucket(F.col("tok")))
     per_doc = (
         exploded.join(F.broadcast(weights), "bucket", "left")
         .groupBy(id_col)
@@ -111,19 +129,9 @@ def md5_weight_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """The md5-derived weights materialized as a real (bucket, weight)
     table over the corpus vocabulary — what ``score_with_weight_table``
     consumes in tests to prove equality with the in-plan scorer."""
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     return (
-        docs.select(F.explode(toks).alias("tok"))
-        .select(F.substring(F.md5(F.col("tok")), 9, 4).alias("bucket"))
+        docs.select(F.explode(_toks(F.col(text_col))).alias("tok"))
+        .select(token_bucket(F.col("tok")).alias("bucket"))
         .distinct()
-        # the weight is a pure function of the bucket hex (chars 9-12
-        # of the token md5 ARE the bucket), so colliding tokens agree
-        # by construction
-        .select(
-            "bucket",
-            (
-                F.conv(F.col("bucket"), 16, 10).cast("long")
-                - WEIGHT_SCALE // 2
-            ).alias("weight"),
-        )
+        .select("bucket", bucket_weight(F.col("bucket")).alias("weight"))
     )

@@ -1001,6 +1001,13 @@ WHERE d.doc_id % 2 = 1
 """
 
 
+# shared curation-policy constants: each is owned by one stage query
+# and re-used verbatim by curate_corpus (and the oracles interpolate
+# the same names), so a policy change cannot drift between the stage
+# and the composed pipeline
+_EVAL_MOD = 20  # doc_id % _EVAL_MOD == 0 is the held-out eval slice
+_QUALITY_MIN_CHARS = 100  # below this the quality gate drops the doc
+
 _DECONTAM_N = 2  # registry entry: bigrams (the test corpus's tiny
 # vocabulary makes 13-grams all-unique → zero overlap, nothing tested);
 # production calls pass n=13, the standard benchmark-decontamination
@@ -1045,7 +1052,7 @@ def decontaminate_ngram(
     evaluation set (``n=13`` is the standard web-scale check; the
     registry entry runs ``n=2`` to match the corpus's tiny
     vocabulary). The eval set is the deterministic
-    ``doc_id % 20 == 0`` slice.
+    ``doc_id % _EVAL_MOD == 0`` slice.
 
     Scale shape: eval sets are small (thousands of docs), so the
     benchmark shingle set — 8-byte xxhash64 keys, compact at any n —
@@ -1059,9 +1066,9 @@ def decontaminate_ngram(
     — odds ~1e-10 at 10^5 distinct shingles.)"""
     sh = _ngram_shingles(_docs(spark, sf_dir), n)
     bench = (
-        sh.where(F.col("doc_id") % 20 == 0).select("shingle").distinct()
+        sh.where(F.col("doc_id") % _EVAL_MOD == 0).select("shingle").distinct()
     )
-    corpus = sh.where(F.col("doc_id") % 20 != 0)
+    corpus = sh.where(F.col("doc_id") % _EVAL_MOD != 0)
     per_doc = corpus.groupBy("doc_id").agg(
         F.countDistinct("shingle").cast("long").alias("nShingles")
     )
@@ -1070,7 +1077,7 @@ def decontaminate_ngram(
         .groupBy("doc_id")
         .agg(F.countDistinct("shingle").cast("long").alias("nContamShingles"))
     )
-    d = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") % 20 != 0)
+    d = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") % _EVAL_MOD != 0)
     n_contam = F.coalesce(F.col("nContamShingles"), F.lit(0).cast("long"))
     frac = F.round(
         F.when(F.col("nShingles") > 0, n_contam / F.col("nShingles")).otherwise(
@@ -1108,14 +1115,14 @@ def _ngram_shingles_sql(n: int) -> str:
 ORACLE_DECONTAMINATE_NGRAM = f"""
 WITH sh AS ({_ngram_shingles_sql(_DECONTAM_N)}
 ), bench AS (
-  SELECT DISTINCT word FROM sh WHERE doc_id % 20 = 0
+  SELECT DISTINCT word FROM sh WHERE doc_id % {_EVAL_MOD} = 0
 ), per_doc AS (
   SELECT doc_id, CAST(count(DISTINCT word) AS BIGINT) AS nsh
-  FROM sh WHERE doc_id % 20 != 0 GROUP BY doc_id
+  FROM sh WHERE doc_id % {_EVAL_MOD} != 0 GROUP BY doc_id
 ), hits AS (
   SELECT s.doc_id, CAST(count(DISTINCT s.word) AS BIGINT) AS n
   FROM sh s JOIN bench b ON s.word = b.word
-  WHERE s.doc_id % 20 != 0
+  WHERE s.doc_id % {_EVAL_MOD} != 0
   GROUP BY s.doc_id
 )
 SELECT d.doc_id,
@@ -1130,7 +1137,7 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN per_doc p USING (doc_id)
 LEFT JOIN hits h USING (doc_id)
-WHERE d.doc_id % 20 != 0
+WHERE d.doc_id % {_EVAL_MOD} != 0
 """
 
 
@@ -1140,42 +1147,62 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream job filters on. Chains the stages in their canonical
     order (eval-slice exclusion → quality gate → exact dedup →
     MinHash near-dup → benchmark decontamination) and reports, per
-    doc: each stage's flag, the FIRST failing stage (``dropReason``,
-    null when curated), the final ``curated`` bit, and the token
-    count the doc contributes to the training budget if kept.
+    doc: each stage's verdict, the FIRST failing stage
+    (``dropReason``, null when curated), the final ``curated`` bit,
+    and the token count the doc contributes to the training budget.
+
+    Dedup runs AMONG SURVIVORS of the earlier stages — the keeper of
+    a duplicate group is the min-id member that passed the eval-slice
+    and quality gates, so a group whose raw min-id member was dropped
+    upstream still keeps one copy (real pipelines dedup the surviving
+    corpus, not the raw one; regression-tested). Stage-verdict
+    columns (``exactKept``/``nearDupKept``) read true for docs
+    already dropped upstream: a stage only rules on docs that reach
+    it, and ``dropReason`` records the one that fired. Policy
+    constants (`_EVAL_MOD`, `_QUALITY_MIN_CHARS`) are shared with the
+    owning stage queries, so the composition cannot drift from them.
 
     Scale shape: the quality gate and token count are in-row; exact
-    dedup is one window over the 16-byte content hash; the near-dup
-    and contamination verdicts join in from their own
-    blocked/broadcast-shaped stages (no new shuffle class appears
-    here — composition adds only doc_id equi-joins, which AQE sizes).
-    """
+    dedup is one window over the 16-byte content hash and the
+    survivor-aware near-dup keeper one window over the cluster label;
+    the cluster and contamination verdicts join in from their own
+    blocked/broadcast-shaped stages (composition adds only doc_id
+    equi-joins, which AQE sizes)."""
     from pyspark.sql import Window as W
 
     d = _docs(spark, sf_dir)
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-    exact_keep = F.min("doc_id").over(
-        W.partitionBy(F.md5(F.col("text")))
-    )
     base = d.select(
         "doc_id",
-        (F.col("doc_id") % 20 == 0).alias("inEvalSet"),
-        (F.col("n_chars") >= 100).alias("qualityPass"),
-        (F.col("doc_id") == exact_keep).alias("exactKept"),
+        (F.col("doc_id") % _EVAL_MOD == 0).alias("inEvalSet"),
+        (F.col("n_chars") >= _QUALITY_MIN_CHARS).alias("qualityPass"),
+        F.md5(F.col("text")).alias("textHash"),
         F.size(toks).cast("long").alias("nTokens"),
     )
-    near = dedup_minhash_assign(spark, sf_dir).select(
-        "doc_id", F.col("isKept").alias("nearDupKept")
+    clusters = dedup_minhash_assign(spark, sf_dir).select(
+        "doc_id", F.col("keepDocId").alias("cluster")
     )
     contam = decontaminate_ngram(spark, sf_dir).select(
         "doc_id", "isContaminated"
     )
+    surv1 = ~F.col("inEvalSet") & F.col("qualityPass")
+    exact_keeper = F.min(F.when(surv1, F.col("doc_id"))).over(
+        W.partitionBy("textHash")
+    )
+    exact_kept = ~surv1 | (F.col("doc_id") == exact_keeper)
+    surv2 = surv1 & (F.col("doc_id") == exact_keeper)
+    near_keeper = F.min(F.when(surv2, F.col("doc_id"))).over(
+        W.partitionBy("cluster")
+    )
+    near_kept = ~surv2 | (F.col("doc_id") == near_keeper)
     j = (
-        base.join(near, "doc_id")
+        base.join(clusters, "doc_id")
         .join(contam, "doc_id", "left")
         .withColumn(
             "contaminated", F.coalesce("isContaminated", F.lit(False))
         )
+        .withColumn("exactKept", exact_kept)
+        .withColumn("nearDupKept", near_kept)
     )
     drop_reason = (
         F.when(F.col("inEvalSet"), "evalSlice")
@@ -1201,7 +1228,8 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # stage oracles nested verbatim — the composition must replay the
-# exact verdicts of the stages it chains
+# exact verdicts of the stages it chains (near-dup cluster labels,
+# contamination flags, and the shared policy constants)
 ORACLE_CURATE_CORPUS = f"""
 WITH near AS (
   {ORACLE_DEDUP_MINHASH_ASSIGN}
@@ -1209,38 +1237,52 @@ WITH near AS (
   {ORACLE_DECONTAMINATE_NGRAM}
 ), base AS (
   SELECT doc_id,
-         doc_id % 20 = 0 AS inEvalSet,
-         n_chars >= 100 AS qualityPass,
-         doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS exactKept,
+         doc_id % {_EVAL_MOD} = 0 AS inEvalSet,
+         n_chars >= {_QUALITY_MIN_CHARS} AS qualityPass,
+         md5(text) AS textHash,
          CAST(len(list_filter(string_split(text, ' '), t -> t != ''))
               AS BIGINT) AS nTokens
   FROM documents
-), j AS (
-  SELECT b.*, n.isKept AS nearDupKept,
-         coalesce(c.isContaminated, false) AS contaminated
+), j1 AS (
+  SELECT b.*, n.keepDocId AS cluster,
+         coalesce(c.isContaminated, false) AS contaminated,
+         (NOT b.inEvalSet AND b.qualityPass) AS surv1
   FROM base b
   JOIN near n USING (doc_id)
   LEFT JOIN contam c USING (doc_id)
+), j2 AS (
+  SELECT *,
+         min(CASE WHEN surv1 THEN doc_id END)
+           OVER (PARTITION BY textHash) AS exactKeeper
+  FROM j1
+), j3 AS (
+  SELECT *,
+         (NOT surv1) OR doc_id = exactKeeper AS exactKept,
+         (surv1 AND doc_id = exactKeeper) AS surv2
+  FROM j2
+), j4 AS (
+  SELECT *,
+         min(CASE WHEN surv2 THEN doc_id END)
+           OVER (PARTITION BY cluster) AS nearKeeper
+  FROM j3
+), j5 AS (
+  SELECT *, (NOT surv2) OR doc_id = nearKeeper AS nearDupKept
+  FROM j4
+), verdict AS (
+  SELECT *,
+         CASE WHEN inEvalSet THEN 'evalSlice'
+              WHEN NOT qualityPass THEN 'quality'
+              WHEN NOT exactKept THEN 'exactDup'
+              WHEN NOT nearDupKept THEN 'nearDup'
+              WHEN contaminated THEN 'contaminated' END AS dropReason
+  FROM j5
 )
 SELECT doc_id, inEvalSet, qualityPass, exactKept, nearDupKept,
-       contaminated,
-       CASE WHEN inEvalSet THEN 'evalSlice'
-            WHEN NOT qualityPass THEN 'quality'
-            WHEN NOT exactKept THEN 'exactDup'
-            WHEN NOT nearDupKept THEN 'nearDup'
-            WHEN contaminated THEN 'contaminated' END AS dropReason,
-       CASE WHEN inEvalSet THEN 'evalSlice'
-            WHEN NOT qualityPass THEN 'quality'
-            WHEN NOT exactKept THEN 'exactDup'
-            WHEN NOT nearDupKept THEN 'nearDup'
-            WHEN contaminated THEN 'contaminated' END IS NULL AS curated,
-       CAST(CASE WHEN CASE WHEN inEvalSet THEN 'evalSlice'
-            WHEN NOT qualityPass THEN 'quality'
-            WHEN NOT exactKept THEN 'exactDup'
-            WHEN NOT nearDupKept THEN 'nearDup'
-            WHEN contaminated THEN 'contaminated' END IS NULL
-            THEN nTokens ELSE 0 END AS BIGINT) AS curatedTokens
-FROM j
+       contaminated, dropReason,
+       dropReason IS NULL AS curated,
+       CAST(CASE WHEN dropReason IS NULL THEN nTokens ELSE 0 END
+            AS BIGINT) AS curatedTokens
+FROM verdict
 """
 
 
@@ -2252,11 +2294,11 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.size(F.array_distinct(tokens)) / n, 6).alias("ttr"),
         F.round(stop / n, 6).alias("stopwordRatio"),
         F.round(mean_len, 6).alias("meanTokenLen"),
-        (F.col("n_chars") < 100).alias("tooShort"),
+        (F.col("n_chars") < _QUALITY_MIN_CHARS).alias("tooShort"),
     )
 
 
-ORACLE_QUALITY_SCORE = """
+ORACLE_QUALITY_SCORE = f"""
 SELECT doc_id,
   round(len(list_distinct(string_split(text,' '))) * 1.0
         / len(string_split(text,' ')), 6) AS ttr,
@@ -2265,7 +2307,7 @@ SELECT doc_id,
         / len(string_split(text,' ')), 6) AS stopwordRatio,
   round((length(text) - (len(string_split(text,' ')) - 1)) * 1.0
         / len(string_split(text,' ')), 6) AS meanTokenLen,
-  n_chars < 100 AS tooShort
+  n_chars < {_QUALITY_MIN_CHARS} AS tooShort
 FROM documents
 """
 
@@ -2305,18 +2347,22 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    cum = F.sum("nTokens").over(w)
-    prev = cum - F.col("nTokens")
-    start_pack = F.floor(prev / _PACK_L)
+    # `div` (integer division on longs), not floor(a/b): `/` widens to
+    # double, which goes inexact past 2^53 cumulative tokens per shard
+    # — the oracle's `//` is integer division, and so is this
+    packed = base.withColumn(
+        "cum", F.sum("nTokens").over(w)
+    ).withColumn("prev", F.col("cum") - F.col("nTokens"))
+    start_pack = F.expr(f"prev div {_PACK_L}")
     end_pack = F.when(
-        F.col("nTokens") > 0, F.floor((cum - 1) / _PACK_L)
+        F.col("nTokens") > 0, F.expr(f"(cum - 1) div {_PACK_L}")
     ).otherwise(start_pack)
-    return base.select(
+    return packed.select(
         "doc_id",
         "shard",
         "nTokens",
         start_pack.cast("long").alias("packInShard"),
-        (prev % _PACK_L).cast("long").alias("offsetInPack"),
+        (F.col("prev") % _PACK_L).cast("long").alias("offsetInPack"),
         end_pack.cast("long").alias("endPackInShard"),
         (end_pack > start_pack).alias("spansBoundary"),
     )
@@ -2364,7 +2410,8 @@ def classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CLASSIFIER_QUALITY = """
 WITH t AS (
   SELECT doc_id,
-         list_filter(string_split(text, ' '), t -> t != '') AS toks
+         list_filter(string_split(coalesce(text, ''), ' '),
+                     t -> t != '') AS toks
   FROM documents
 ), s AS (
   SELECT doc_id,
@@ -2762,9 +2809,12 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic doc_id-derived PII (an email, an IPv4, a phone on
     every third doc, and a word-boundary decoy ``a1.2.3.4`` that must
     NOT match) identically in both engines; then per-type match
-    counts and the fully redacted text. All JVM regex — whole-stage
-    codegen, zero shuffle (the 100-TB shape for a scan-wide scrub)."""
-    from .functions.pii import EMAIL_RE, IPV4_RE, PHONE_RE, pii_count, redact_pii
+    counts and the fully redacted text. Counts are STAGED (each rule
+    counted on the text the redaction chain actually hands it), so
+    nEmails/nIps/nPhones equal the placeholder counts in ``redacted``
+    by construction. All JVM regex — whole-stage codegen, zero
+    shuffle (the 100-TB shape for a scan-wide scrub)."""
+    from .functions.pii import redact_pii, staged_pii_counts
 
     d = _docs(spark, sf_dir)
     aug = F.concat(
@@ -2784,11 +2834,12 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit(" no phone a1.2.3.4")),
     )
+    n_emails, n_ips, n_phones = staged_pii_counts(aug)
     return d.select(
         "doc_id",
-        pii_count(aug, EMAIL_RE).alias("nEmails"),
-        pii_count(aug, IPV4_RE).alias("nIps"),
-        pii_count(aug, PHONE_RE).alias("nPhones"),
+        n_emails.alias("nEmails"),
+        n_ips.alias("nIps"),
+        n_phones.alias("nPhones"),
         redact_pii(aug).alias("redacted"),
     )
 
@@ -2798,11 +2849,17 @@ def _oracle_pii() -> str:
     (patterns live in the Java-regex ∩ RE2 common subset, so DuckDB
     replays the matches byte-identically; replacements are chained in
     PII_RULES order with the 'g' flag — DuckDB replaces only the
-    first match without it)."""
-    from .functions.pii import EMAIL_RE, IPV4_RE, PHONE_RE, PII_RULES
+    first match without it). Counts are staged exactly like
+    ``staged_pii_counts``: rule i counted on the (i-1)-times-redacted
+    text."""
+    from .functions.pii import PII_RULES
 
     red = "t"
+    counts = []
     for pattern, placeholder in PII_RULES:
+        counts.append(
+            f"CAST(length(regexp_extract_all({red}, '{pattern}')) AS BIGINT)"
+        )
         red = f"regexp_replace({red}, '{pattern}', '{placeholder}', 'g')"
     return f"""
 WITH aug AS (
@@ -2816,9 +2873,9 @@ WITH aug AS (
   FROM documents
 )
 SELECT doc_id,
-  CAST(length(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS "nEmails",
-  CAST(length(regexp_extract_all(t, '{IPV4_RE}')) AS BIGINT) AS "nIps",
-  CAST(length(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS "nPhones",
+  {counts[0]} AS "nEmails",
+  {counts[1]} AS "nIps",
+  {counts[2]} AS "nPhones",
   {red} AS redacted
 FROM aug
 """

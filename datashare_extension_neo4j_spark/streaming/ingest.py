@@ -94,9 +94,12 @@ def start_pii_scrub_stream(
     ``readStream`` unchanged — bit-identical outputs to the batch
     scrub, tested). Scrubbed docs append to parquet; the checkpoint
     makes delivery exactly-once per input file."""
+    from functools import reduce
+    from operator import add
+
     from pyspark.sql import functions as F
 
-    from ..functions.pii import EMAIL_RE, IPV4_RE, PHONE_RE, pii_count, redact_pii
+    from ..functions.pii import redact_pii, staged_pii_counts
 
     docs = (
         spark.readStream.schema("doc_id long, text string")
@@ -106,11 +109,9 @@ def start_pii_scrub_stream(
     scrubbed = docs.select(
         "doc_id",
         redact_pii(F.col("text")).alias("text"),
-        (
-            pii_count(F.col("text"), EMAIL_RE)
-            + pii_count(F.col("text"), IPV4_RE)
-            + pii_count(F.col("text"), PHONE_RE)
-        ).alias("nRedacted"),
+        # staged counts: nRedacted equals the number of placeholders
+        # actually written into the scrubbed text
+        reduce(add, staged_pii_counts(F.col("text"))).alias("nRedacted"),
     )
     writer = (
         scrubbed.writeStream.format("parquet")

@@ -52,8 +52,21 @@ def test_empty_doc_scores_zero_and_passes(spark):
     assert rows[1].nTokens == 3
     assert rows[2].nTokens == 0 and rows[2].qualityScore == 0.0
     assert rows[2].passes
-    # null text: null tokens -> null flags propagate (caller filters)
-    assert rows[3].nTokens is None
+    # null text reads as the empty document — identical in the
+    # weight-table path and the oracle (no null-parity divergence)
+    assert rows[3].nTokens == 0 and rows[3].scoreSum == 0
+    assert rows[3].qualityScore == 0.0 and rows[3].passes
+
+
+def test_paths_equal_on_null_and_empty_text(spark):
+    d = spark.createDataFrame(
+        [(1, "the fast key"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    inplan = d.select("doc_id", *quality_score_cols(F.col("text")))
+    tabled = score_with_weight_table(d, md5_weight_table(d))
+    assert inplan.exceptAll(tabled).count() == 0
+    assert tabled.exceptAll(inplan).count() == 0
 
 
 def test_classifier_quality_plan_is_scan_shaped(spark):

@@ -11,21 +11,19 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from datashare_extension_neo4j_spark.functions.pii import (
-    EMAIL_RE,
-    IPV4_RE,
-    PHONE_RE,
-    pii_count,
     redact_pii,
+    staged_pii_counts,
 )
 
 
 def _redact_one(spark, text):
     df = spark.createDataFrame([(text,)], "t string")
+    ne, ni, np = staged_pii_counts(F.col("t"))
     return df.select(
         redact_pii(F.col("t")).alias("r"),
-        pii_count(F.col("t"), EMAIL_RE).alias("ne"),
-        pii_count(F.col("t"), IPV4_RE).alias("ni"),
-        pii_count(F.col("t"), PHONE_RE).alias("np"),
+        ne.alias("ne"),
+        ni.alias("ni"),
+        np.alias("np"),
     ).first()
 
 
@@ -50,6 +48,18 @@ def test_word_boundary_decoys_do_not_match(spark):
     row = _redact_one(spark, "a1.2.3.4 and 1.2.3 and x @ y")
     assert row.r == "a1.2.3.4 and 1.2.3 and x @ y"
     assert (row.ne, row.ni, row.np) == (0, 0, 0)
+
+
+def test_staged_counts_match_placeholders_in_output(spark):
+    """The adversarial interplay case: 'x@y.io1.2.3.4' has NO IPv4
+    match in the raw text (no word boundary before the 1), but
+    redacting the email first creates one — staged counts must agree
+    with what the redacted output actually contains."""
+    row = _redact_one(spark, "x@y.io1.2.3.4 and x@1.2.3.4.com")
+    assert row.r.count("<EMAIL>") == row.ne
+    assert row.r.count("<IP>") == row.ni
+    assert row.r.count("<PHONE>") == row.np
+    assert (row.ne, row.ni) == (2, 1)
 
 
 def test_placeholders_are_not_reentrant(spark):
