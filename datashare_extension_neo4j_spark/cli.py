@@ -328,6 +328,81 @@ def cmd_neardup_increment(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """End-to-end curation consumable: the per-document provenance
+    table (stage verdicts, first failing stage, curated bit, token
+    contribution) written as parquet, plus a JSON summary of the drop
+    funnel and the surviving token budget."""
+    from pyspark.sql import functions as F
+
+    from .queries import curate_corpus
+
+    spark = _spark(args.master)
+    curate_corpus(spark, args.sf_dir).write.mode("overwrite").parquet(
+        args.out
+    )
+    v = spark.read.parquet(args.out)
+    funnel = {
+        r["dropReason"] or "curated": r["n"]
+        for r in v.groupBy("dropReason").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    tokens = v.agg(F.sum("curatedTokens")).first()[0]
+    print(
+        json.dumps(
+            {
+                "rows": v.count(),
+                "funnel": funnel,
+                "curated_tokens": int(tokens or 0),
+                "out": args.out,
+            },
+            sort_keys=True,
+        )
+    )
+    return 0
+
+
+def cmd_scrub(args) -> int:
+    """PII scrub consumable: redact emails/IPv4s/phones in a
+    documents parquet (doc_id, text) with typed placeholders; writes
+    the scrubbed table and reports staged per-rule counts (each rule
+    counted on the text the redaction chain hands it, so counts equal
+    placeholders written)."""
+    from pyspark.sql import functions as F
+
+    from .functions.pii import redact_pii, staged_pii_counts
+
+    spark = _spark(args.master)
+    docs = spark.read.parquet(args.docs)
+    n_emails, n_ips, n_phones = staged_pii_counts(F.col("text"))
+    scrubbed = docs.select(
+        *[c for c in docs.columns if c != "text"],
+        redact_pii(F.col("text")).alias("text"),
+        n_emails.alias("_ne"),
+        n_ips.alias("_ni"),
+        n_phones.alias("_np"),
+    )
+    scrubbed.drop("_ne", "_ni", "_np").write.mode("overwrite").parquet(
+        args.out
+    )
+    totals = scrubbed.agg(
+        F.sum("_ne"), F.sum("_ni"), F.sum("_np")
+    ).first()
+    print(
+        json.dumps(
+            {
+                "rows": docs.count(),
+                "emails": int(totals[0] or 0),
+                "ips": int(totals[1] or 0),
+                "phones": int(totals[2] or 0),
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="datashare_extension_neo4j_spark")
     p.add_argument("--master", default=None)
@@ -434,6 +509,20 @@ def main(argv: list[str] | None = None) -> int:
     nu.add_argument("--out", required=True,
                     help="writes kept/ and dups/ parquet under here")
     nu.set_defaults(fn=cmd_neardup_increment)
+
+    cu = sub.add_parser("curate")
+    cu.add_argument("--sf-dir", required=True,
+                    help="table directory holding documents.parquet")
+    cu.add_argument("--out", required=True,
+                    help="provenance-table parquet path")
+    cu.set_defaults(fn=cmd_curate)
+
+    sc = sub.add_parser("scrub")
+    sc.add_argument("--docs", required=True,
+                    help="documents parquet with a text column")
+    sc.add_argument("--out", required=True,
+                    help="scrubbed parquet path")
+    sc.set_defaults(fn=cmd_scrub)
 
     args = p.parse_args(argv)
     return args.fn(args)

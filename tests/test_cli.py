@@ -129,6 +129,32 @@ def test_cli_corpus_filter_consumables(spark, tmp_path, capsys):
     ).count() == 0
 
 
+def test_cli_curate_and_scrub(spark, tmp_path, capsys):
+    """curate writes the provenance table + drop funnel; scrub writes
+    the redacted corpus with staged counters."""
+    out1 = str(tmp_path / "curated")
+    assert main(["curate", "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", out1]) == 0
+    c = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert c["rows"] == 500
+    assert c["funnel"].get("evalSlice") == 25
+    assert c["curated_tokens"] > 0
+    v = spark.read.parquet(out1)
+    assert v.where("curated and dropReason is not null").count() == 0
+
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "mail a@b.co or 10.0.0.1"), (2, "clean")],
+        "doc_id long, text string",
+    ).write.parquet(docs)
+    out2 = str(tmp_path / "scrubbed")
+    assert main(["scrub", "--docs", docs, "--out", out2]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (s["rows"], s["emails"], s["ips"]) == (2, 1, 1)
+    got = {r.doc_id: r.text for r in spark.read.parquet(out2).collect()}
+    assert got[1] == "mail <EMAIL> or <IP>" and got[2] == "clean"
+
+
 def test_cli_neardup_store_cycle(spark, tmp_path, capsys):
     """neardup-init then neardup-increment: dup suppressed against the
     store, survivor appended, outputs written."""
