@@ -1356,6 +1356,315 @@ GROUP BY a.entity, b.entity
 """
 
 
+_REL_WINDOW = 5  # max token gap for a co-mention to count as relation
+# evidence (test-scale width; ~30 at production sentence scale)
+
+# category precedence for canonical (subj, obj) direction
+_CAT_RANK_SQL = (
+    "CASE category WHEN 'PERSON' THEN 0 "
+    "WHEN 'ORGANIZATION' THEN 1 ELSE 2 END"
+)
+
+# unordered category pair -> predicate (subj is the lower-rank side)
+_REL_PREDICATES = {
+    ("PERSON", "PERSON"): "ASSOCIATED_WITH",
+    ("PERSON", "ORGANIZATION"): "AFFILIATED_WITH",
+    ("PERSON", "LOCATION"): "LOCATED_IN",
+    ("ORGANIZATION", "ORGANIZATION"): "PARTNER_OF",
+    ("ORGANIZATION", "LOCATION"): "BASED_IN",
+    ("LOCATION", "LOCATION"): "NEAR",
+}
+
+
+def _cat_rank(cat: F.Column) -> F.Column:
+    return (
+        F.when(cat == "PERSON", 0)
+        .when(cat == "ORGANIZATION", 1)
+        .otherwise(2)
+    )
+
+
+def kg_typed_relations(
+    spark: SparkSession, sf_dir: str, window: int = _REL_WINDOW
+) -> DataFrame:
+    """Typed relation extraction by proximity distant-supervision — the
+    step that upgrades the untyped APPEARS_IN/co-occurrence graph into
+    predicate-typed triples (reference emits only fixed edge types,
+    ``neo4j-app/neo4j_app/core/neo4j/graphs.py``; this is the KG-
+    construction depth layer on top). Two mentions within ``window``
+    tokens of each other in the same document are relation evidence;
+    the predicate is determined by the category pair
+    (PERSON×ORGANIZATION → AFFILIATED_WITH, PERSON×LOCATION →
+    LOCATED_IN, ORGANIZATION×LOCATION → BASED_IN, …) and the triple
+    direction is canonical: subj is the lower (categoryRank, entity)
+    side, so each evidence pair lands on exactly one (subj, pred, obj)
+    key. Output per triple: mention-pair evidence count, distinct
+    supporting docs, and the closest observed gap.
+
+    Scale shape: NOT a per-document cross join — a banded bucket join.
+    Each mention gets bucket = offset div window; the earlier side
+    fans out to (bucket, bucket+1) and the join is an equi-join on
+    (documentId, bucket) with the exact gap check as a post-filter: a
+    later mention within ``window`` tokens always sits in the same or
+    the next bucket, so every qualifying pair matches exactly once and
+    the per-mention fan-out is bounded by the window width (offsets
+    are distinct token positions — at most ``window`` candidates
+    ahead), independent of document length or per-doc mention count.
+    The shuffle key is (doc, bucket): no hub-doc pair explosion
+    exists to cap. Final agg shuffles the (subj, pred, obj) key — the
+    semantic minimum."""
+    m = _mentions(spark, sf_dir).select(
+        "documentId",
+        F.concat(
+            F.col("mentionNorm"), F.lit("/"), F.col("category")
+        ).alias("entity"),
+        "category",
+        "offset",
+    )
+    bkt = (F.col("offset") / window).cast("long")
+    early = m.select(
+        "*", F.explode(F.array(bkt, bkt + 1)).alias("bucket")
+    )
+    late = m.withColumn("bucket", bkt)
+    a, b = early.alias("a"), late.alias("b")
+    gap = F.col("b.offset") - F.col("a.offset")
+    pairs = a.join(
+        b,
+        (F.col("a.documentId") == F.col("b.documentId"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (gap > 0)
+        & (gap <= window)
+        & (F.col("a.entity") != F.col("b.entity")),
+    )
+    ra, rb = _cat_rank(F.col("a.category")), _cat_rank(F.col("b.category"))
+    swap = (ra > rb) | (
+        (ra == rb) & (F.col("a.entity") > F.col("b.entity"))
+    )
+    subj_cat = F.when(swap, F.col("b.category")).otherwise(
+        F.col("a.category")
+    )
+    obj_cat = F.when(swap, F.col("a.category")).otherwise(
+        F.col("b.category")
+    )
+    pred = F.lit(None).cast("string")
+    for (cs, co), p in _REL_PREDICATES.items():
+        pred = F.when((subj_cat == cs) & (obj_cat == co), p).otherwise(pred)
+    return (
+        pairs.select(
+            F.col("a.documentId").alias("documentId"),
+            F.when(swap, F.col("b.entity"))
+            .otherwise(F.col("a.entity"))
+            .alias("subj"),
+            pred.alias("predicate"),
+            F.when(swap, F.col("a.entity"))
+            .otherwise(F.col("b.entity"))
+            .alias("obj"),
+            gap.alias("gap"),
+        )
+        .groupBy("subj", "predicate", "obj")
+        .agg(
+            F.count("*").cast("long").alias("nMentionPairs"),
+            F.countDistinct("documentId").cast("long").alias("nDocs"),
+            F.min("gap").cast("long").alias("minGap"),
+        )
+    )
+
+
+def _rel_predicate_case() -> str:
+    whens = "\n".join(
+        f"  WHEN subjCat = '{cs}' AND objCat = '{co}' THEN '{p}'"
+        for (cs, co), p in _REL_PREDICATES.items()
+    )
+    return f"CASE\n{whens}\nEND"
+
+
+# the oracle replays the semantics directly (plain windowed self-join —
+# the banded bucket join is an execution strategy, not a semantic)
+ORACLE_KG_TYPED_RELATIONS = _MENTIONS_CTE + f"""
+, e AS (
+  SELECT documentId,
+         mentionNorm || '/' || category AS entity,
+         category,
+         {_CAT_RANK_SQL} AS rnk,
+         "offset" AS off
+  FROM m
+), pr AS (
+  SELECT a.documentId AS documentId,
+         CASE WHEN (a.rnk > b.rnk) OR (a.rnk = b.rnk AND a.entity > b.entity)
+              THEN b.entity ELSE a.entity END AS subj,
+         CASE WHEN (a.rnk > b.rnk) OR (a.rnk = b.rnk AND a.entity > b.entity)
+              THEN b.category ELSE a.category END AS subjCat,
+         CASE WHEN (a.rnk > b.rnk) OR (a.rnk = b.rnk AND a.entity > b.entity)
+              THEN a.entity ELSE b.entity END AS obj,
+         CASE WHEN (a.rnk > b.rnk) OR (a.rnk = b.rnk AND a.entity > b.entity)
+              THEN a.category ELSE b.category END AS objCat,
+         b.off - a.off AS gap
+  FROM e a JOIN e b
+    ON a.documentId = b.documentId
+   AND b.off > a.off AND b.off - a.off <= {_REL_WINDOW}
+   AND a.entity != b.entity
+)
+SELECT subj,
+       {_rel_predicate_case()} AS predicate,
+       obj,
+       CAST(count(*) AS BIGINT) AS nMentionPairs,
+       CAST(count(DISTINCT documentId) AS BIGINT) AS nDocs,
+       CAST(min(gap) AS BIGINT) AS minGap
+FROM pr
+GROUP BY subj, predicate, obj
+"""
+
+
+_TRI_MIN_SHARED = 1  # include all co-occurrence edges at test scale
+
+
+def kg_triangle_count(
+    spark: SparkSession, sf_dir: str, min_shared: int = _TRI_MIN_SHARED
+) -> DataFrame:
+    """Per-entity triangle count + local clustering coefficient over
+    the entity co-occurrence graph — the standard KG cohesion metric
+    (community density, link-prediction features). Every entity gets a
+    row: degree in the thresholded graph, the number of triangles it
+    participates in, and round(2T / (deg·(deg−1)), 6).
+
+    Scale shape: degree-ordered orientation — every undirected edge is
+    directed from its lower (degree, id) endpoint to the higher, so
+    each triangle {x,y,z} (x ≺ y ≺ z by that order) is counted exactly
+    once as the wedge x→y, x→z closed by y→z. Out-degree under this
+    orientation is bounded by O(√m) on any graph (arboricity bound),
+    so the wedge join never explodes on power-law hubs — a celebrity
+    entity with 10^6 co-occurrence neighbours contributes wedges only
+    through its (few) higher-degree neighbours, not its fan-in. This
+    is the classic MapReduce triangle-counting shape (Suri & Vassilvitskii,
+    WWW'11) expressed as two DataFrame self-joins; the oracle counts
+    the same triangles with lexicographic orientation — the per-node
+    counts are orientation-invariant."""
+    e = (
+        kg_entity_cooccurrence(spark, sf_dir)
+        .where(F.col("nSharedDocs") >= min_shared)
+        .select(F.col("entityA").alias("u"), F.col("entityB").alias("v"))
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    ed = (
+        e.join(
+            deg.select(F.col("n").alias("u"), F.col("deg").alias("du")),
+            "u",
+        )
+        .join(
+            deg.select(F.col("n").alias("v"), F.col("deg").alias("dv")),
+            "v",
+        )
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    tri = (
+        w1.join(
+            w2,
+            (F.col("w1.src") == F.col("w2.src"))
+            & (F.col("w1.dst") != F.col("w2.dst")),
+        )
+        .select(
+            F.col("w1.src").alias("x"),
+            F.col("w1.dst").alias("y"),
+            F.col("w2.dst").alias("z"),
+        )
+        .join(
+            oriented.alias("w3"),
+            (F.col("y") == F.col("w3.src")) & (F.col("z") == F.col("w3.dst")),
+        )
+        .select("x", "y", "z")
+    )
+    per_node = (
+        tri.select(F.col("x").alias("n"))
+        .unionAll(tri.select(F.col("y").alias("n")))
+        .unionAll(tri.select(F.col("z").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("tc"))
+    )
+    ents = (
+        _mentions(spark, sf_dir)
+        .select(
+            F.concat(
+                F.col("mentionNorm"), F.lit("/"), F.col("category")
+            ).alias("entity")
+        )
+        .distinct()
+    )
+    d = F.coalesce(F.col("deg"), F.lit(0).cast("long"))
+    t = F.coalesce(F.col("tc"), F.lit(0).cast("long"))
+    return (
+        ents.join(deg, ents.entity == deg.n, "left")
+        .drop("n")
+        .join(per_node, ents.entity == per_node.n, "left")
+        .drop("n")
+        .select(
+            "entity",
+            d.alias("degree"),
+            t.alias("nTriangles"),
+            F.round(
+                F.when(
+                    d >= 2, 2.0 * t / (d * (d - 1))
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clusterCoeff"),
+        )
+    )
+
+
+# lexicographic orientation (entityA < entityB already holds in the
+# co-occurrence relation) — same triangle set as the degree-ordered
+# execution plan, so per-node counts agree exactly
+ORACLE_KG_TRIANGLE_COUNT = f"""
+WITH cooc AS (
+  {ORACLE_KG_ENTITY_COOCCURRENCE}
+), e AS (
+  SELECT entityA AS a, entityB AS b FROM cooc
+  WHERE nSharedDocs >= {_TRI_MIN_SHARED}
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), pern AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS tc FROM (
+    SELECT x AS n FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY n
+), deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS n FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY n
+), ents AS (
+  SELECT DISTINCT entity FROM (
+    {_MENTIONS_CTE}
+    SELECT mentionNorm || '/' || category AS entity FROM m
+  ) t
+)
+SELECT e.entity,
+       CAST(coalesce(dg.d, 0) AS BIGINT) AS degree,
+       CAST(coalesce(p.tc, 0) AS BIGINT) AS nTriangles,
+       round(CASE WHEN coalesce(dg.d, 0) >= 2
+                  THEN 2.0 * coalesce(p.tc, 0)
+                       / (dg.d * (dg.d - 1))
+                  ELSE 0.0 END, 6) AS clusterCoeff
+FROM ents e
+LEFT JOIN deg dg ON dg.n = e.entity
+LEFT JOIN pern p ON p.n = e.entity
+"""
+
+
 _COMMUNITY_MIN_SHARED = 2
 
 
@@ -4233,6 +4542,8 @@ QUERIES = {
     "kg_entity_cooccurrence": (
         kg_entity_cooccurrence, ORACLE_KG_ENTITY_COOCCURRENCE,
     ),
+    "kg_typed_relations": (kg_typed_relations, ORACLE_KG_TYPED_RELATIONS),
+    "kg_triangle_count": (kg_triangle_count, ORACLE_KG_TRIANGLE_COUNT),
     "dedup_minhash_clusters": (
         dedup_minhash_clusters,
         ORACLE_DEDUP_MINHASH_CLUSTERS,
@@ -4265,11 +4576,11 @@ QUERIES = {
     "lang_id": (lang_id, ORACLE_LANG_ID),
     "doc_fingerprint": (doc_fingerprint, ORACLE_DOC_FINGERPRINT),
     "bpe_train_merges": (bpe_train_merges, ORACLE_BPE_TRAIN_MERGES),
-    "bpe_vocab": (bpe_vocab, ORACLE_BPE_VOCAB),
-    "bpe_tokenize_stats": (bpe_tokenize_stats, ORACLE_BPE_TOKENIZE_STATS),
     # ---- entries below sit past the driver's 50-slot correctness
     # window (variants, gates, and generic demos); every one is still
     # oracle-verified each run by tests/test_oracle_parity.py
+    "bpe_vocab": (bpe_vocab, ORACLE_BPE_VOCAB),
+    "bpe_tokenize_stats": (bpe_tokenize_stats, ORACLE_BPE_TOKENIZE_STATS),
     "media_decode": (media_decode, ORACLE_MEDIA_DECODE),
     "events_retention": (events_retention, ORACLE_EVENTS_RETENTION),
     "vocab_stats": (vocab_stats, ORACLE_VOCAB_STATS),

@@ -1,0 +1,88 @@
+"""Typed relation extraction (kg_typed_relations) and triangle
+counting (kg_triangle_count): crafted-corpus semantics on top of the
+registry-wide oracle parity that tests/test_oracle_parity.py already
+replays for both entries.
+
+Covers: window cut-off (gap > W emits nothing; gap == W, which crosses
+a bucket boundary in the banded join, emits), canonical subj/obj
+direction (text order never leaks into the triple), the predicate map
+per category pair, same-entity self-pair exclusion, and a known
+triangle with an isolated vertex.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(tmp_path, texts):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_typed_relations_semantics(spark, tmp_path):
+    from datashare_extension_neo4j_spark.queries import kg_typed_relations
+
+    sf = _write_docs(
+        tmp_path,
+        [
+            "customer spark",                # P-O gap 1
+            "customer aa bb cc dd ee spark", # gap 6 > window: no pair
+            "spark customer",                # O first: direction canonical
+            "customer supplier",             # P-P
+            "spark spark",                   # same entity: excluded
+            "window table",                  # L-L
+            "stream batch",                  # L then O: subj is the ORG
+            "customer aa bb cc dd spark",    # gap == 5 (bucket boundary)
+        ],
+    )
+    got = {
+        (r["subj"], r["predicate"], r["obj"]): (
+            r["nMentionPairs"],
+            r["nDocs"],
+            r["minGap"],
+        )
+        for r in kg_typed_relations(spark, sf).collect()
+    }
+    assert got == {
+        ("customer/PERSON", "AFFILIATED_WITH", "spark/ORGANIZATION"):
+            (3, 3, 1),
+        ("customer/PERSON", "ASSOCIATED_WITH", "supplier/PERSON"): (1, 1, 1),
+        ("table/LOCATION", "NEAR", "window/LOCATION"): (1, 1, 1),
+        ("batch/ORGANIZATION", "BASED_IN", "stream/LOCATION"): (1, 1, 1),
+    }
+
+
+def test_triangle_count_known_graph(spark, tmp_path):
+    from datashare_extension_neo4j_spark.queries import kg_triangle_count
+
+    # customer-supplier-spark form a triangle via three pairwise docs;
+    # window is mentioned but never co-occurs (isolated vertex).
+    sf = _write_docs(
+        tmp_path,
+        [
+            "customer supplier",
+            "customer spark",
+            "supplier spark",
+            "window",
+        ],
+    )
+    got = {
+        r["entity"]: (r["degree"], r["nTriangles"], r["clusterCoeff"])
+        for r in kg_triangle_count(spark, sf).collect()
+    }
+    assert got == {
+        "customer/PERSON": (2, 1, 1.0),
+        "supplier/PERSON": (2, 1, 1.0),
+        "spark/ORGANIZATION": (2, 1, 1.0),
+        "window/LOCATION": (0, 0, 0.0),
+    }
