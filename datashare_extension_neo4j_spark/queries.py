@@ -1665,6 +1665,151 @@ LEFT JOIN pern p ON p.n = e.entity
 """
 
 
+_LP_MAX_WEDGE_DEG = 1000  # hub middle-node cap for the wedge join
+_LP_STRONG_EDGES = 10  # strong-graph cut: keep the K heaviest
+# co-occurrence edges (ties at the cut weight included)
+
+
+def kg_link_prediction(
+    spark: SparkSession, sf_dir: str,
+    max_wedge_degree: int = _LP_MAX_WEDGE_DEG,
+    strong_edges: int = _LP_STRONG_EDGES,
+) -> DataFrame:
+    """Link-prediction features for KG completion — for every 2-hop
+    candidate pair (entities sharing ≥1 neighbour but NOT already
+    connected) the three classic topological scores: common-neighbour
+    count, Jaccard of neighbourhoods, and Adamic–Adar (Σ 1/ln(deg(m))
+    over shared neighbours m — rare shared neighbours weigh more). The
+    downstream consumable is a ranked candidate list for edge
+    suggestion / KB enrichment review.
+
+    The candidate universe is the STRONG co-occurrence graph: the
+    ``strong_edges`` heaviest edges by shared-doc weight, ties at the
+    cut weight included (the K-th-largest-weight cut is a pure
+    function of the weight multiset — no tie-order nondeterminism).
+    Link prediction over the raw graph is vacuous on a densely
+    co-mentioned corpus (every pair already co-occurs somewhere);
+    production uses a weight threshold for the same sparsification,
+    the top-K form keeps the synthetic corpus non-degenerate at every
+    sf. Cost: one sort-limit of the EDGE list (already aggregated —
+    tiny next to the mention stream) folded in as a 1-row crossJoin,
+    the same shape tfidf uses for n_docs.
+
+    Scale shape: one wedge join on the middle node — quadratic in the
+    MIDDLE node's degree, so a celebrity hub would emit deg² pairs;
+    ``max_wedge_degree`` drops hub middles BEFORE the join (the same
+    degenerate-blowup guard family as the LSH hot-bucket and
+    co-occurrence hub caps, mirrored in the oracle — in production
+    link prediction through a 10^6-degree hub carries no signal
+    anyway: its Adamic–Adar weight 1/ln(10^6) is noise). The
+    existing-edge exclusion is a left-anti join on the pair key; the
+    per-pair agg shuffles the (u, v) key once. Each shared middle
+    contributes exactly one wedge row in both engines, and the float
+    scores are rounded to 6dp (the fixed-point discipline every
+    float-bearing oracle here uses)."""
+    cooc = kg_entity_cooccurrence(spark, sf_dir)
+    wk = (
+        cooc.orderBy(F.desc("nSharedDocs"))
+        .limit(strong_edges)
+        .agg(F.min("nSharedDocs").alias("wmin"))
+    )
+    e = (
+        cooc.crossJoin(wk)
+        .where(F.col("nSharedDocs") >= F.col("wmin"))
+        .select(F.col("entityA").alias("a"), F.col("entityB").alias("b"))
+    )
+    sym = e.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("n")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    mid_ok = deg.where(F.col("d") <= max_wedge_degree).select(
+        F.col("n").alias("src"), F.col("d").alias("dm")
+    )
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    wedges = (
+        s1.join(
+            s2,
+            (F.col("s1.src") == F.col("s2.src"))
+            & (F.col("s1.dst") < F.col("s2.dst")),
+        )
+        .join(mid_ok, F.col("s1.src") == mid_ok.src)
+        .select(
+            F.col("s1.src").alias("m"),
+            F.col("dm"),
+            F.col("s1.dst").alias("u"),
+            F.col("s2.dst").alias("v"),
+        )
+    )
+    cand = wedges.join(
+        e,
+        (wedges.u == e.a) & (wedges.v == e.b),
+        "left_anti",
+    )
+    scored = cand.groupBy("u", "v").agg(
+        F.count("*").cast("long").alias("commonNeighbors"),
+        F.sum(1.0 / F.log(F.col("dm"))).alias("_aa"),
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    cn = F.col("commonNeighbors")
+    return (
+        scored.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("u").alias("entityA"),
+            F.col("v").alias("entityB"),
+            cn,
+            F.round(
+                cn / (F.col("du") + F.col("dv") - cn), 6
+            ).alias("jaccard"),
+            F.round(F.col("_aa"), 6).alias("adamicAdar"),
+        )
+    )
+
+
+ORACLE_KG_LINK_PREDICTION = f"""
+WITH cooc AS (
+  {ORACLE_KG_ENTITY_COOCCURRENCE}
+), wk AS (
+  SELECT min(nSharedDocs) AS wmin FROM (
+    SELECT nSharedDocs FROM cooc
+    ORDER BY nSharedDocs DESC LIMIT {_LP_STRONG_EDGES}
+  ) t
+), e AS (
+  SELECT entityA AS a, entityB AS b FROM cooc, wk
+  WHERE nSharedDocs >= wmin
+), sym AS (
+  SELECT a AS src, b AS dst FROM e
+  UNION ALL SELECT b, a FROM e
+), deg AS (
+  SELECT src AS n, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY src
+), wedge AS (
+  SELECT s1.src AS m, dm.d AS dm, s1.dst AS u, s2.dst AS v
+  FROM sym s1
+  JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+  JOIN deg dm ON dm.n = s1.src AND dm.d <= {_LP_MAX_WEDGE_DEG}
+  WHERE NOT EXISTS (
+    SELECT 1 FROM e WHERE e.a = s1.dst AND e.b = s2.dst
+  )
+), scored AS (
+  SELECT u, v,
+         CAST(count(*) AS BIGINT) AS commonNeighbors,
+         sum(1.0 / ln(dm)) AS aa
+  FROM wedge GROUP BY u, v
+)
+SELECT s.u AS entityA, s.v AS entityB,
+       s.commonNeighbors,
+       round(s.commonNeighbors * 1.0
+             / (du.d + dv.d - s.commonNeighbors), 6) AS jaccard,
+       round(s.aa, 6) AS adamicAdar
+FROM scored s
+JOIN deg du ON du.n = s.u
+JOIN deg dv ON dv.n = s.v
+"""
+
+
 _COMMUNITY_MIN_SHARED = 2
 
 
@@ -4544,6 +4689,7 @@ QUERIES = {
     ),
     "kg_typed_relations": (kg_typed_relations, ORACLE_KG_TYPED_RELATIONS),
     "kg_triangle_count": (kg_triangle_count, ORACLE_KG_TRIANGLE_COUNT),
+    "kg_link_prediction": (kg_link_prediction, ORACLE_KG_LINK_PREDICTION),
     "dedup_minhash_clusters": (
         dedup_minhash_clusters,
         ORACLE_DEDUP_MINHASH_CLUSTERS,
@@ -4572,13 +4718,13 @@ QUERIES = {
     "ann_ivf_recall": (ann_ivf_recall, ORACLE_ANN_RECALL),
     "media_embed_neardup": (media_embed_neardup, ORACLE_MEDIA_EMBED_NEARDUP),
     "embed_neardup": (embed_neardup, ORACLE_EMBED_NEARDUP),
-    "text_stats": (text_stats, ORACLE_TEXT_STATS),
     "lang_id": (lang_id, ORACLE_LANG_ID),
     "doc_fingerprint": (doc_fingerprint, ORACLE_DOC_FINGERPRINT),
     "bpe_train_merges": (bpe_train_merges, ORACLE_BPE_TRAIN_MERGES),
     # ---- entries below sit past the driver's 50-slot correctness
     # window (variants, gates, and generic demos); every one is still
     # oracle-verified each run by tests/test_oracle_parity.py
+    "text_stats": (text_stats, ORACLE_TEXT_STATS),
     "bpe_vocab": (bpe_vocab, ORACLE_BPE_VOCAB),
     "bpe_tokenize_stats": (bpe_tokenize_stats, ORACLE_BPE_TOKENIZE_STATS),
     "media_decode": (media_decode, ORACLE_MEDIA_DECODE),

@@ -62,6 +62,38 @@ def test_typed_relations_semantics(spark, tmp_path):
     }
 
 
+def test_link_prediction_path_graph(spark, tmp_path):
+    """Path a—b—c: the only candidate is (a, c) through middle b with
+    commonNeighbors=1, jaccard=1/(1+1-1)=1.0, adamicAdar=1/ln(2);
+    existing edges are excluded; a hub cap below the middle's degree
+    suppresses the wedge entirely."""
+    import math
+
+    from datashare_extension_neo4j_spark.queries import kg_link_prediction
+
+    sf = _write_docs(
+        tmp_path,
+        [
+            "customer supplier",  # a-b
+            "supplier spark",     # b-c
+        ],
+    )
+    rows = kg_link_prediction(spark, sf).collect()
+    assert [
+        (
+            r["entityA"], r["entityB"], r["commonNeighbors"],
+            r["jaccard"], r["adamicAdar"],
+        )
+        for r in rows
+    ] == [
+        (
+            "customer/PERSON", "spark/ORGANIZATION", 1, 1.0,
+            round(1.0 / math.log(2.0), 6),
+        )
+    ]
+    assert kg_link_prediction(spark, sf, max_wedge_degree=1).count() == 0
+
+
 def test_triangle_count_known_graph(spark, tmp_path):
     from datashare_extension_neo4j_spark.queries import kg_triangle_count
 

@@ -39,6 +39,9 @@ NONEMPTY = {
     "dedup_minhash_assign",
     "decontaminate_ngram",
     "kg_entity_pagerank",
+    "kg_typed_relations",
+    "kg_triangle_count",
+    "kg_link_prediction",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "media_embed_neardup",
