@@ -1538,15 +1538,30 @@ def kg_triangle_count(
     is the classic MapReduce triangle-counting shape (Suri & Vassilvitskii,
     WWW'11) expressed as two DataFrame self-joins; the oracle counts
     the same triangles with lexicographic orientation — the per-node
-    counts are orientation-invariant."""
-    e = (
+    counts are orientation-invariant.
+
+    The EDGE list (entity-vocab-sized — tiny next to the mention
+    stream that derives it) is eager-localCheckpointed once, because
+    the downstream dataflow references it repeatedly (degree, both
+    wedge sides, the closing join): without lineage truncation
+    Catalyst re-instantiates the whole mention-scan → co-occurrence
+    subplan PER REFERENCE — a ~50×-instantiation plan blowup measured
+    in the plan audit. The oriented frame is checkpointed for the
+    same reason; per-node incidence is ONE explode over the triangle
+    rows, not a 3-way union. Checkpoint blocks are registered for
+    release via ``release_long_lived_checkpoints`` (the same
+    long-lived-driver hygiene as ``media_embed_neardup``)."""
+    from .operators.graph_algos import _eager_checkpoint, _register_long_lived
+
+    e_raw = (
         kg_entity_cooccurrence(spark, sf_dir)
         .where(F.col("nSharedDocs") >= min_shared)
         .select(F.col("entityA").alias("u"), F.col("entityB").alias("v"))
     )
+    e, e_ids = _eager_checkpoint(e_raw)
+    _register_long_lived(spark, e_ids)
     deg = (
-        e.select(F.col("u").alias("n"))
-        .unionAll(e.select(F.col("v").alias("n")))
+        e.select(F.explode(F.array("u", "v")).alias("n"))
         .groupBy("n")
         .agg(F.count("*").cast("long").alias("deg"))
     )
@@ -1563,10 +1578,12 @@ def kg_triangle_count(
     fwd = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = ed.select(
+    oriented_raw = ed.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
     )
+    oriented, o_ids = _eager_checkpoint(oriented_raw)
+    _register_long_lived(spark, o_ids)
     w1, w2 = oriented.alias("w1"), oriented.alias("w2")
     tri = (
         w1.join(
@@ -1586,9 +1603,7 @@ def kg_triangle_count(
         .select("x", "y", "z")
     )
     per_node = (
-        tri.select(F.col("x").alias("n"))
-        .unionAll(tri.select(F.col("y").alias("n")))
-        .unionAll(tri.select(F.col("z").alias("n")))
+        tri.select(F.explode(F.array("x", "y", "z")).alias("n"))
         .groupBy("n")
         .agg(F.count("*").cast("long").alias("tc"))
     )
@@ -1706,8 +1721,20 @@ def kg_link_prediction(
     per-pair agg shuffles the (u, v) key once. Each shared middle
     contributes exactly one wedge row in both engines, and the float
     scores are rounded to 6dp (the fixed-point discipline every
-    float-bearing oracle here uses)."""
-    cooc = kg_entity_cooccurrence(spark, sf_dir)
+    float-bearing oracle here uses).
+
+    The strong edge list and the degree table (both entity-vocab-
+    sized) are eager-localCheckpointed: the dataflow references each
+    of them three times, and without lineage truncation Catalyst
+    re-instantiates the mention-scan → co-occurrence subplan per
+    reference (a ~20×-instantiation plan blowup measured in the plan
+    audit). Blocks are registered for release via
+    ``release_long_lived_checkpoints``."""
+    from .operators.graph_algos import _eager_checkpoint, _register_long_lived
+
+    cooc_raw = kg_entity_cooccurrence(spark, sf_dir)
+    cooc, c_ids = _eager_checkpoint(cooc_raw)
+    _register_long_lived(spark, c_ids)
     wk = (
         cooc.orderBy(F.desc("nSharedDocs"))
         .limit(strong_edges)
@@ -1719,11 +1746,18 @@ def kg_link_prediction(
         .select(F.col("entityA").alias("a"), F.col("entityB").alias("b"))
     )
     sym = e.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    deg = sym.groupBy(F.col("src").alias("n")).agg(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    deg_raw = sym.groupBy(F.col("src").alias("n")).agg(
         F.count("*").cast("long").alias("d")
     )
+    deg, d_ids = _eager_checkpoint(deg_raw)
+    _register_long_lived(spark, d_ids)
     mid_ok = deg.where(F.col("d") <= max_wedge_degree).select(
         F.col("n").alias("src"), F.col("d").alias("dm")
     )
@@ -1807,6 +1841,123 @@ SELECT s.u AS entityA, s.v AS entityB,
 FROM scored s
 JOIN deg du ON du.n = s.u
 JOIN deg dv ON dv.n = s.v
+"""
+
+
+def kg_relation_surface(
+    spark: SparkSession, sf_dir: str, window: int = _REL_WINDOW
+) -> DataFrame:
+    """Lexicalized predicate surface forms — the corpus-derived
+    upgrade over ``kg_typed_relations``' fixed category-pair
+    predicates: for every directed entity pair co-mentioned within the
+    token window (with ≥1 intervening token), the most frequent
+    INTERVENING token sequence becomes the pair's predicate surface
+    form ("works at", "based in", …). Direction follows TEXT order
+    (subj = earlier mention) because the surface reads left-to-right;
+    ties break deterministically (count desc, then surface asc).
+
+    Scale shape: the pair stream comes from the same banded bucket
+    join as ``kg_typed_relations`` (per-mention fan-out bounded by the
+    window width); the intervening tokens come from ONE doc_id
+    equi-join of the pair stream against the per-doc token arrays
+    (AQE-sized — the slice itself is in-row), then one (subj, obj,
+    surface) agg and one per-pair ranking window over the aggregated
+    (vocab-scale, not corpus-scale) pair-surface table. Empty tokens
+    (doubled spaces) are filtered from the surface but positions index
+    the raw split, mirroring `_words` exactly."""
+    from pyspark.sql import Window as W
+
+    toks = _docs(spark, sf_dir).select(
+        _doc_id().alias("documentId"),
+        F.split(F.col("text"), " ").alias("tk"),
+    )
+    m = _mentions(spark, sf_dir).select(
+        "documentId",
+        F.concat(
+            F.col("mentionNorm"), F.lit("/"), F.col("category")
+        ).alias("entity"),
+        "offset",
+    )
+    bkt = (F.col("offset") / window).cast("long")
+    early = m.select("*", F.explode(F.array(bkt, bkt + 1)).alias("bucket"))
+    late = m.withColumn("bucket", bkt)
+    a, b = early.alias("a"), late.alias("b")
+    gap = F.col("b.offset") - F.col("a.offset")
+    pairs = a.join(
+        b,
+        (F.col("a.documentId") == F.col("b.documentId"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (gap >= 2)
+        & (gap <= window)
+        & (F.col("a.entity") != F.col("b.entity")),
+    ).select(
+        F.col("a.documentId").alias("documentId"),
+        F.col("a.entity").alias("subj"),
+        F.col("b.entity").alias("obj"),
+        F.col("a.offset").alias("pa"),
+        gap.alias("gap"),
+    )
+    surf = pairs.join(toks, "documentId").select(
+        "subj",
+        "obj",
+        F.array_join(
+            F.filter(
+                F.slice(
+                    F.col("tk"),
+                    (F.col("pa") + 2).cast("int"),
+                    (F.col("gap") - 1).cast("int"),
+                ),
+                lambda t: t != "",
+            ),
+            " ",
+        ).alias("surfaceForm"),
+    )
+    cnt = surf.groupBy("subj", "obj", "surfaceForm").agg(
+        F.count("*").cast("long").alias("nPairs")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("subj", "obj").orderBy(
+            F.desc("nPairs"), F.asc("surfaceForm")
+        )
+    )
+    return (
+        cnt.withColumn("_r", rk)
+        .where(F.col("_r") == 1)
+        .select("subj", "obj", "surfaceForm", "nPairs")
+    )
+
+
+ORACLE_KG_RELATION_SURFACE = _MENTIONS_CTE + f"""
+, tok AS (
+  SELECT 'doc-' || doc_id AS documentId, string_split(text, ' ') AS parts
+  FROM documents
+), e AS (
+  SELECT documentId, mentionNorm || '/' || category AS entity,
+         "offset" AS off
+  FROM m
+), pr AS (
+  SELECT a.documentId AS documentId, a.entity AS subj, b.entity AS obj,
+         a.off AS pa, b.off AS pb
+  FROM e a JOIN e b
+    ON a.documentId = b.documentId
+   AND b.off - a.off BETWEEN 2 AND {_REL_WINDOW}
+   AND a.entity != b.entity
+), surf AS (
+  SELECT subj, obj,
+         array_to_string(
+           list_filter(t.parts[pr.pa + 2 : pr.pb], x -> x != ''), ' '
+         ) AS surfaceForm
+  FROM pr JOIN tok t USING (documentId)
+), cnt AS (
+  SELECT subj, obj, surfaceForm, CAST(count(*) AS BIGINT) AS nPairs
+  FROM surf GROUP BY subj, obj, surfaceForm
+), rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY subj, obj ORDER BY nPairs DESC, surfaceForm ASC
+  ) AS r
+  FROM cnt
+)
+SELECT subj, obj, surfaceForm, nPairs FROM rk WHERE r = 1
 """
 
 
@@ -4690,6 +4841,7 @@ QUERIES = {
     "kg_typed_relations": (kg_typed_relations, ORACLE_KG_TYPED_RELATIONS),
     "kg_triangle_count": (kg_triangle_count, ORACLE_KG_TRIANGLE_COUNT),
     "kg_link_prediction": (kg_link_prediction, ORACLE_KG_LINK_PREDICTION),
+    "kg_relation_surface": (kg_relation_surface, ORACLE_KG_RELATION_SURFACE),
     "dedup_minhash_clusters": (
         dedup_minhash_clusters,
         ORACLE_DEDUP_MINHASH_CLUSTERS,
@@ -4718,12 +4870,12 @@ QUERIES = {
     "ann_ivf_recall": (ann_ivf_recall, ORACLE_ANN_RECALL),
     "media_embed_neardup": (media_embed_neardup, ORACLE_MEDIA_EMBED_NEARDUP),
     "embed_neardup": (embed_neardup, ORACLE_EMBED_NEARDUP),
-    "lang_id": (lang_id, ORACLE_LANG_ID),
     "doc_fingerprint": (doc_fingerprint, ORACLE_DOC_FINGERPRINT),
     "bpe_train_merges": (bpe_train_merges, ORACLE_BPE_TRAIN_MERGES),
     # ---- entries below sit past the driver's 50-slot correctness
     # window (variants, gates, and generic demos); every one is still
     # oracle-verified each run by tests/test_oracle_parity.py
+    "lang_id": (lang_id, ORACLE_LANG_ID),
     "text_stats": (text_stats, ORACLE_TEXT_STATS),
     "bpe_vocab": (bpe_vocab, ORACLE_BPE_VOCAB),
     "bpe_tokenize_stats": (bpe_tokenize_stats, ORACLE_BPE_TOKENIZE_STATS),

@@ -62,6 +62,33 @@ def test_typed_relations_semantics(spark, tmp_path):
     }
 
 
+def test_relation_surface_semantics(spark, tmp_path):
+    """Most frequent intervening token sequence wins per directed
+    pair; direction follows text order; doubled spaces yield an empty
+    surface candidate (positions index the raw split) but never beat
+    a repeated real surface."""
+    from datashare_extension_neo4j_spark.queries import kg_relation_surface
+
+    sf = _write_docs(
+        tmp_path,
+        [
+            "customer works at spark",
+            "customer works at spark",
+            "customer sits near spark",
+            "customer  spark",          # doubled space: empty surface
+            "spark hires customer",     # reverse text order: own row
+        ],
+    )
+    got = {
+        (r["subj"], r["obj"]): (r["surfaceForm"], r["nPairs"])
+        for r in kg_relation_surface(spark, sf).collect()
+    }
+    assert got == {
+        ("customer/PERSON", "spark/ORGANIZATION"): ("works at", 2),
+        ("spark/ORGANIZATION", "customer/PERSON"): ("hires", 1),
+    }
+
+
 def test_link_prediction_path_graph(spark, tmp_path):
     """Path a—b—c: the only candidate is (a, c) through middle b with
     commonNeighbors=1, jaccard=1/(1+1-1)=1.0, adamicAdar=1/ln(2);
