@@ -145,3 +145,30 @@ def test_triangle_count_known_graph(spark, tmp_path):
         "spark/ORGANIZATION": (2, 1, 1.0),
         "window/LOCATION": (0, 0, 0.0),
     }
+
+
+def test_graph_query_plans_stay_truncated(spark, tmp_path):
+    """Regression guard for the multi-reference plan blowup: without
+    the eager checkpoints on the vocab-sized edge frames,
+    kg_triangle_count compiled to ~474 exchanges and
+    kg_link_prediction to ~208 (the mention-scan → co-occurrence
+    subplan re-instantiated per reference). The checkpointed plans sit
+    at 7 and 11; bound with headroom so legitimate small changes
+    don't flap the test."""
+    from datashare_extension_neo4j_spark.queries import (
+        kg_link_prediction,
+        kg_triangle_count,
+    )
+
+    sf = _write_docs(
+        tmp_path,
+        ["customer supplier", "customer spark", "supplier spark"],
+    )
+    for fn, bound in ((kg_triangle_count, 20), (kg_link_prediction, 30)):
+        plan = (
+            fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        )
+        n = plan.count("Exchange hashpartitioning") + plan.count(
+            "Exchange rangepartitioning"
+        )
+        assert n <= bound, f"{fn.__name__}: {n} exchanges"
