@@ -403,6 +403,44 @@ def cmd_scrub(args) -> int:
     return 0
 
 
+def cmd_relations(args) -> int:
+    """Graph-analytics consumable: materialize the typed-relation
+    family over a corpus — predicate-typed triples, lexicalized
+    surface forms, per-entity triangle/clustering stats, and
+    link-prediction candidates — as four parquet tables under one
+    output dir, with a JSON row-count summary. The KG-enrichment
+    bundle a downstream browser/trainer loads next to the node/edge
+    tables."""
+    from .operators.graph_algos import release_long_lived_checkpoints
+    from .queries import (
+        kg_link_prediction,
+        kg_relation_surface,
+        kg_triangle_count,
+        kg_typed_relations,
+    )
+
+    spark = _spark(args.master)
+    tables = {
+        "typed_relations": kg_typed_relations,
+        "relation_surface": kg_relation_surface,
+        "triangle_stats": kg_triangle_count,
+        "link_candidates": kg_link_prediction,
+    }
+    counts = {}
+    for name, fn in tables.items():
+        out = f"{args.out}/{name}"
+        fn(spark, args.sf_dir).write.mode("overwrite").parquet(out)
+        counts[name] = spark.read.parquet(out).count()
+    released = release_long_lived_checkpoints(spark)
+    print(
+        json.dumps(
+            {**counts, "released_ckpt_blocks": released, "out": args.out},
+            sort_keys=True,
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="datashare_extension_neo4j_spark")
     p.add_argument("--master", default=None)
@@ -523,6 +561,13 @@ def main(argv: list[str] | None = None) -> int:
     sc.add_argument("--out", required=True,
                     help="scrubbed parquet path")
     sc.set_defaults(fn=cmd_scrub)
+
+    rl = sub.add_parser("relations")
+    rl.add_argument("--sf-dir", required=True,
+                    help="table directory holding documents.parquet")
+    rl.add_argument("--out", required=True,
+                    help="output dir for the four relation tables")
+    rl.set_defaults(fn=cmd_relations)
 
     args = p.parse_args(argv)
     return args.fn(args)

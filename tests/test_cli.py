@@ -181,3 +181,22 @@ def test_cli_neardup_store_cycle(spark, tmp_path, capsys):
     assert [r["doc_id"] for r in spark.read.parquet(f"{out}/kept").collect()] == [3]
     dups = spark.read.parquet(f"{out}/dups").collect()
     assert [(r["doc_id"], r["keeperDocId"]) for r in dups] == [(2, 1)]
+
+
+def test_cli_relations_bundle(spark, tmp_path, capsys):
+    """relations materializes the four graph-analytics tables and
+    reports counts; checkpoint blocks created by the triangle/link
+    queries are released before exit."""
+    out = str(tmp_path / "rel")
+    assert main(["relations", "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", out]) == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["typed_relations"] > 0
+    assert r["relation_surface"] > 0
+    assert r["triangle_stats"] == 7
+    assert r["link_candidates"] > 0
+    assert r["released_ckpt_blocks"] >= 4
+    t = spark.read.parquet(out + "/typed_relations")
+    assert set(t.columns) == {
+        "subj", "predicate", "obj", "nMentionPairs", "nDocs", "minGap"
+    }
