@@ -1384,6 +1384,38 @@ def _cat_rank(cat: F.Column) -> F.Column:
     )
 
 
+def _banded_comention_pairs(
+    m: DataFrame, window: int, min_gap: int
+) -> DataFrame:
+    """Banded bucket join over a mention frame (documentId, entity,
+    offset, …): each mention gets bucket = offset div window, the
+    EARLIER side fans out to (bucket, bucket+1), and the join is an
+    equi-join on (documentId, bucket) with the exact gap bounds as a
+    post-filter — a later mention within ``window`` tokens always
+    sits in the same or the next bucket, so every qualifying pair
+    matches exactly once and per-mention fan-out is bounded by the
+    window width regardless of document length or per-doc mention
+    count. Returns the joined frame with the two sides addressable as
+    ``a`` (earlier) and ``b`` (later); extra columns on ``m`` (e.g.
+    category) ride along. Shared by ``kg_typed_relations`` and
+    ``kg_relation_surface`` so the banding math cannot diverge."""
+    bkt = (F.col("offset") / window).cast("long")
+    early = m.select(
+        "*", F.explode(F.array(bkt, bkt + 1)).alias("bucket")
+    )
+    late = m.withColumn("bucket", bkt)
+    a, b = early.alias("a"), late.alias("b")
+    gap = F.col("b.offset") - F.col("a.offset")
+    return a.join(
+        b,
+        (F.col("a.documentId") == F.col("b.documentId"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (gap >= min_gap)
+        & (gap <= window)
+        & (F.col("a.entity") != F.col("b.entity")),
+    )
+
+
 def kg_typed_relations(
     spark: SparkSession, sf_dir: str, window: int = _REL_WINDOW
 ) -> DataFrame:
@@ -1421,21 +1453,8 @@ def kg_typed_relations(
         "category",
         "offset",
     )
-    bkt = (F.col("offset") / window).cast("long")
-    early = m.select(
-        "*", F.explode(F.array(bkt, bkt + 1)).alias("bucket")
-    )
-    late = m.withColumn("bucket", bkt)
-    a, b = early.alias("a"), late.alias("b")
     gap = F.col("b.offset") - F.col("a.offset")
-    pairs = a.join(
-        b,
-        (F.col("a.documentId") == F.col("b.documentId"))
-        & (F.col("a.bucket") == F.col("b.bucket"))
-        & (gap > 0)
-        & (gap <= window)
-        & (F.col("a.entity") != F.col("b.entity")),
-    )
+    pairs = _banded_comention_pairs(m, window, min_gap=1)
     ra, rb = _cat_rank(F.col("a.category")), _cat_rank(F.col("b.category"))
     swap = (ra > rb) | (
         (ra == rb) & (F.col("a.entity") > F.col("b.entity"))
@@ -1581,15 +1600,25 @@ def kg_triangle_count(
     oriented_raw = ed.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        # the dst endpoint's degree, so the wedge join below can order
+        # the two out-neighbours by the SAME (degree, id) comparator
+        # as the orientation — each wedge emits once, already in the
+        # only order the closing edge can exist in (y ≺ z ⇒ only y→z
+        # is oriented); a dst != dst condition would emit both orders
+        # and double the dominant intermediate
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dd"),
     )
     oriented, o_ids = _eager_checkpoint(oriented_raw)
     _register_long_lived(spark, o_ids)
     w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedge_ord = (F.col("w1.dd") < F.col("w2.dd")) | (
+        (F.col("w1.dd") == F.col("w2.dd"))
+        & (F.col("w1.dst") < F.col("w2.dst"))
+    )
     tri = (
         w1.join(
             w2,
-            (F.col("w1.src") == F.col("w2.src"))
-            & (F.col("w1.dst") != F.col("w2.dst")),
+            (F.col("w1.src") == F.col("w2.src")) & wedge_ord,
         )
         .select(
             F.col("w1.src").alias("x"),
@@ -1723,12 +1752,13 @@ def kg_link_prediction(
     scores are rounded to 6dp (the fixed-point discipline every
     float-bearing oracle here uses).
 
-    The strong edge list and the degree table (both entity-vocab-
-    sized) are eager-localCheckpointed: the dataflow references each
-    of them three times, and without lineage truncation Catalyst
-    re-instantiates the mention-scan → co-occurrence subplan per
-    reference (a ~20×-instantiation plan blowup measured in the plan
-    audit). Blocks are registered for release via
+    The co-occurrence table, the strong edge list, and the degree
+    table (all entity-vocab-sized) are eager-localCheckpointed: the
+    dataflow references each several times, and without lineage
+    truncation Catalyst re-instantiates the mention-scan →
+    co-occurrence subplan (and the strong cut's sort-limit) per
+    reference — a ~20×-instantiation plan blowup measured in the plan
+    audit. Blocks are registered for release via
     ``release_long_lived_checkpoints``."""
     from .operators.graph_algos import _eager_checkpoint, _register_long_lived
 
@@ -1740,11 +1770,13 @@ def kg_link_prediction(
         .limit(strong_edges)
         .agg(F.min("nSharedDocs").alias("wmin"))
     )
-    e = (
+    e_raw = (
         cooc.crossJoin(wk)
         .where(F.col("nSharedDocs") >= F.col("wmin"))
         .select(F.col("entityA").alias("a"), F.col("entityB").alias("b"))
     )
+    e, e_ids = _eager_checkpoint(e_raw)
+    _register_long_lived(spark, e_ids)
     sym = e.select(
         F.explode(
             F.array(
@@ -1761,20 +1793,21 @@ def kg_link_prediction(
     mid_ok = deg.where(F.col("d") <= max_wedge_degree).select(
         F.col("n").alias("src"), F.col("d").alias("dm")
     )
-    s1, s2 = sym.alias("s1"), sym.alias("s2")
-    wedges = (
-        s1.join(
-            s2,
-            (F.col("s1.src") == F.col("s2.src"))
-            & (F.col("s1.dst") < F.col("s2.dst")),
-        )
-        .join(mid_ok, F.col("s1.src") == mid_ok.src)
-        .select(
-            F.col("s1.src").alias("m"),
-            F.col("dm"),
-            F.col("s1.dst").alias("u"),
-            F.col("s2.dst").alias("v"),
-        )
+    # hub middles are dropped BEFORE the quadratic self-join (join
+    # order is written into the plan — Catalyst does not hoist a
+    # post-join filter above an inner self-join, so capping after
+    # would still materialize deg² wedge rows for a celebrity hub)
+    sym_ok = sym.join(mid_ok, "src")
+    s1, s2 = sym_ok.alias("s1"), sym_ok.alias("s2")
+    wedges = s1.join(
+        s2,
+        (F.col("s1.src") == F.col("s2.src"))
+        & (F.col("s1.dst") < F.col("s2.dst")),
+    ).select(
+        F.col("s1.src").alias("m"),
+        F.col("s1.dm").alias("dm"),
+        F.col("s1.dst").alias("u"),
+        F.col("s2.dst").alias("v"),
     )
     cand = wedges.join(
         e,
@@ -1878,19 +1911,8 @@ def kg_relation_surface(
         ).alias("entity"),
         "offset",
     )
-    bkt = (F.col("offset") / window).cast("long")
-    early = m.select("*", F.explode(F.array(bkt, bkt + 1)).alias("bucket"))
-    late = m.withColumn("bucket", bkt)
-    a, b = early.alias("a"), late.alias("b")
     gap = F.col("b.offset") - F.col("a.offset")
-    pairs = a.join(
-        b,
-        (F.col("a.documentId") == F.col("b.documentId"))
-        & (F.col("a.bucket") == F.col("b.bucket"))
-        & (gap >= 2)
-        & (gap <= window)
-        & (F.col("a.entity") != F.col("b.entity")),
-    ).select(
+    pairs = _banded_comention_pairs(m, window, min_gap=2).select(
         F.col("a.documentId").alias("documentId"),
         F.col("a.entity").alias("subj"),
         F.col("b.entity").alias("obj"),
