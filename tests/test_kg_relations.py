@@ -172,3 +172,27 @@ def test_graph_query_plans_stay_truncated(spark, tmp_path):
             "Exchange rangepartitioning"
         )
         assert n <= bound, f"{fn.__name__}: {n} exchanges"
+
+
+def test_entity_salience_ranking(spark, tmp_path):
+    """tf × smoothed-idf ranks the doc-specific entity above the
+    corpus-ubiquitous one; every doc gets its own ranked list."""
+    import math
+
+    from datashare_extension_neo4j_spark.queries import kg_entity_salience
+
+    sf = _write_docs(
+        tmp_path,
+        ["customer customer spark", "spark", "spark"],
+    )
+    got = {
+        (r["documentId"], r["entity"]): (r["tf"], r["salience"], r["rank"])
+        for r in kg_entity_salience(spark, sf).collect()
+    }
+    two_ln2 = round(2 * math.log(4 / 2), 6)
+    assert got == {
+        ("doc-0", "customer/PERSON"): (2, two_ln2, 1),
+        ("doc-0", "spark/ORGANIZATION"): (1, 0.0, 2),
+        ("doc-1", "spark/ORGANIZATION"): (1, 0.0, 1),
+        ("doc-2", "spark/ORGANIZATION"): (1, 0.0, 1),
+    }
