@@ -254,3 +254,88 @@ def pagerank(
         rank_ids = new_ids
     _unpersist_rdd_ids(spark, sym_ids)
     return ranks.select("node", "rank")
+
+
+def pagerank_directed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 5,
+    damping: float = 0.85,
+    digits: int = 6,
+) -> DataFrame:
+    """Fixed-iteration DIRECTED PageRank — the webgraph formulation
+    (Page et al.): normalized 1/N start, per-iteration
+    r' = (1-d)/N + d·(Σ_in r·w/outw + dangling/N), where ``dangling``
+    is the total rank mass sitting on nodes with no out-edges
+    (terminal pages), redistributed uniformly. With ``weight`` set,
+    contributions are weighted by edge multiplicity (w/outw instead of
+    1/outdeg) — the host-graph convention.
+
+    Determinism discipline mirrors :func:`pagerank`: every
+    iteration's ranks AND the dangling scalar are rounded to
+    ``digits``, so an unrolled-CTE SQL oracle replays the loop
+    exactly; float summation-order noise (~1e-13) sits far below the
+    0.5·10^-digits boundary.
+
+    Scale shape: per iteration one key-partitioned join (ranks ⋈
+    edges on src) + one groupBy(dst) + one 1-row aggregate for the
+    dangling mass folded back via crossJoin (no collect). Edge table
+    and out-weights are checkpointed once; ranks rotate per round with
+    block release, so executor storage holds ONE ranks copy.
+    """
+    spark = edges.sparkSession
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    ew, ew_ids = _eager_checkpoint(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"), w.alias("w"))
+        .groupBy("s", "d")
+        .agg(F.sum("w").alias("w"))
+    )
+    outw = ew.groupBy("s").agg(F.sum("w").alias("outw"))
+    nodes = (
+        ew.select(F.col("s").alias("node"))
+        .unionByName(ew.select(F.col("d").alias("node")))
+        .distinct()
+        .join(outw.withColumnRenamed("s", "node"), "node", "left")
+    )
+    n1 = nodes.agg(F.count("*").cast("double").alias("n"))
+    nodes, node_ids = _eager_checkpoint(nodes.crossJoin(n1))
+    ranks, rank_ids = _eager_checkpoint(
+        nodes.select(
+            "node", "outw", "n", F.round(1.0 / F.col("n"), digits).alias("rank")
+        )
+    )
+    for _ in range(iterations):
+        dang = ranks.where(F.col("outw").isNull()).agg(
+            F.round(F.coalesce(F.sum("rank"), F.lit(0.0)), digits).alias("dang")
+        )
+        contrib = (
+            ranks.where(F.col("outw").isNotNull())
+            .select(F.col("node").alias("s"), (F.col("rank") / F.col("outw")).alias("c"))
+            .join(ew, "s")
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum(F.col("c") * F.col("w")).alias("inflow"))
+        )
+        ranks, new_ids = _eager_checkpoint(
+            nodes.join(contrib, "node", "left")
+            .crossJoin(dang)
+            .select(
+                "node",
+                "outw",
+                "n",
+                F.round(
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("inflow", F.lit(0.0))
+                        + F.col("dang") / F.col("n")
+                    ),
+                    digits,
+                ).alias("rank"),
+            )
+        )
+        _unpersist_rdd_ids(spark, rank_ids)
+        rank_ids = new_ids
+    _unpersist_rdd_ids(spark, ew_ids | node_ids)
+    return ranks.select("node", "rank")

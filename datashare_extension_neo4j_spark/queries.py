@@ -4917,6 +4917,305 @@ FROM events GROUP BY event_type
 """
 
 
+# ------------------------------------------------- web link graph
+
+# The hyperlink family (operators/weblinks.py): the reference's corpus
+# is web pages but it materializes only the document/entity graph —
+# the link graph is the canonical web-scale companion (host PageRank,
+# canonical-URL dedup). Pages are synthesized deterministically from
+# the documents table (pure column exprs, fixtures.py discipline); the
+# Spark side then does REAL extraction from the page bytes (regexp
+# over html), while the oracles replay the generation rule — the same
+# split used by kg_doc_nodes/kg_mentions.
+
+
+def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.weblinks import synth_link_pages
+
+    return synth_link_pages(_docs(spark, sf_dir))
+
+
+def _links_cte() -> str:
+    from .operators.weblinks import LINKS_PER_DOC, MIN_LINK_WORD_LEN
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), dw AS (
+  SELECT doc_id, source, word, min(pos) AS fpos
+  FROM t WHERE length(word) >= {MIN_LINK_WORD_LEN}
+  GROUP BY doc_id, source, word
+), lk AS (
+  SELECT doc_id, source, word,
+         row_number() OVER (PARTITION BY doc_id ORDER BY fpos) AS rk
+  FROM dw
+), links AS (
+  SELECT 'https://' || source || '.example.org/doc-' || doc_id AS srcUrl,
+         'https://' || word || '.example.net/wiki/' || word ||
+           '?utm_source=' || source || '&ref=' || doc_id || '#s1' AS dstUrl,
+         word AS anchorText,
+         source || '.example.org' AS srcHost,
+         word || '.example.net' AS dstHost,
+         word
+  FROM lk WHERE rk <= {LINKS_PER_DOC}
+)
+"""
+
+
+def web_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor extraction from page HTML — (srcUrl, dstUrl, anchorText)
+    one row per anchor occurrence, pulled from the markup with JVM
+    regexp expressions (no Python). Scan+project, zero shuffle; the
+    oracle re-derives the deterministic generator's links."""
+    from .operators.weblinks import extract_links
+
+    return extract_links(_link_pages(spark, sf_dir))
+
+
+ORACLE_WEB_LINK_EDGES = (
+    _links_cte()
+    + "SELECT srcUrl, dstUrl, anchorText FROM links"
+)
+
+
+def web_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph: (srcHost, dstHost, nLinks, nPages) via
+    parse_url host extraction + ONE groupBy on the host pair. Hosts
+    are vocabulary-scale, pages corpus-scale — the agg output is tiny
+    relative to the input, the right 100-TB shape."""
+    from .operators.weblinks import extract_links, host_graph
+
+    return host_graph(extract_links(_link_pages(spark, sf_dir)))
+
+
+ORACLE_WEB_HOST_GRAPH = (
+    _links_cte()
+    + """
+SELECT srcHost, dstHost,
+       CAST(count(*) AS BIGINT) AS nLinks,
+       CAST(count(DISTINCT srcUrl) AS BIGINT) AS nPages
+FROM links GROUP BY srcHost, dstHost
+"""
+)
+
+
+def web_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL rollup — the crawl-dedup prep step: lowercase,
+    fragment + tracking params (utm_*/ref/fbclid/gclid) stripped with
+    delimiter repair, then one groupBy per canonical target URL. The
+    oracle derives the canonical form INDEPENDENTLY from the
+    generation rule (not by replaying the regex chain), so the chain's
+    semantics — not just its implementation — are what's checked."""
+    from .operators.weblinks import canonical_url, extract_links, url_host
+
+    links = extract_links(_link_pages(spark, sf_dir))
+    return (
+        links.select(
+            canonical_url(F.col("dstUrl")).alias("url"),
+            url_host(F.col("srcUrl")).alias("srcHost"),
+        )
+        .groupBy("url")
+        .agg(
+            F.count("*").cast("long").alias("nLinks"),
+            F.countDistinct("srcHost").cast("long").alias("nSources"),
+        )
+    )
+
+
+ORACLE_WEB_URL_CANONICAL = (
+    _links_cte()
+    + """
+SELECT 'https://' || word || '.example.net/wiki/' || word AS url,
+       CAST(count(*) AS BIGINT) AS nLinks,
+       CAST(count(DISTINCT srcHost) AS BIGINT) AS nSources
+FROM links GROUP BY 1
+"""
+)
+
+
+def web_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed PageRank over the host graph with dangling-mass
+    redistribution (terminal wiki hosts have no out-links — exactly
+    the dangling-node case) — the crawl-prioritization ranking.
+    Link-weighted contributions; fixed iterations with per-round
+    rounding so the unrolled-CTE oracle replays the loop exactly
+    (graph_algos.pagerank_directed)."""
+    from .operators.graph_algos import pagerank_directed
+    from .operators.weblinks import extract_links, host_graph
+
+    hg = host_graph(extract_links(_link_pages(spark, sf_dir)))
+    pr = pagerank_directed(
+        hg,
+        src="srcHost",
+        dst="dstHost",
+        weight="nLinks",
+        iterations=_PR_ITER,
+        damping=_PR_DAMP,
+        digits=_PR_DIGITS,
+    )
+    return pr.select(
+        F.col("node").alias("host"), F.col("rank").alias("pagerank")
+    )
+
+
+def _web_pagerank_oracle_sql() -> str:
+    steps = []
+    for i in range(1, _PR_ITER + 1):
+        steps.append(f"""g{i} AS (
+  SELECT round(coalesce(sum(rank), 0), {_PR_DIGITS}) AS dang
+  FROM r{i - 1} WHERE outw IS NULL
+), f{i} AS (
+  SELECT e.d AS node, sum(r.rank / ow.outw * e.w) AS inflow
+  FROM r{i - 1} r JOIN e ON r.node = e.s JOIN ow ON ow.s = e.s
+  GROUP BY e.d
+), r{i} AS (
+  SELECT nd.node, nd.outw,
+         round({1 - _PR_DAMP} / nn.n
+               + {_PR_DAMP} * (coalesce(f.inflow, 0) + g{i}.dang / nn.n),
+               {_PR_DIGITS}) AS rank
+  FROM nd CROSS JOIN nn CROSS JOIN g{i}
+  LEFT JOIN f{i} f ON nd.node = f.node
+)""")
+    return (
+        _links_cte()
+        + f""", e AS (
+  SELECT srcHost AS s, dstHost AS d, CAST(count(*) AS DOUBLE) AS w
+  FROM links GROUP BY srcHost, dstHost
+), ow AS (
+  SELECT s, sum(w) AS outw FROM e GROUP BY s
+), nd AS (
+  SELECT u.node, ow.outw FROM (
+    SELECT s AS node FROM e UNION SELECT d FROM e
+  ) u LEFT JOIN ow ON u.node = ow.s
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM nd
+), r0 AS (
+  SELECT node, outw, round(1.0 / nn.n, {_PR_DIGITS}) AS rank
+  FROM nd CROSS JOIN nn
+), """
+        + ",\n".join(steps)
+        + f"\nSELECT node AS host, rank AS pagerank FROM r{_PR_ITER}"
+    )
+
+
+ORACLE_WEB_HOST_PAGERANK = _web_pagerank_oracle_sql()
+
+
+# ------------------------------------------------- temporal KG
+
+# Mention timestamps follow the fixtures.reference_pages convention:
+# warc_ts = 2023-02-06T12:00:00 + doc_id hours (FIXTURES.md). Both
+# sides emit formatted strings so engine timestamp/zone formatting
+# never enters the hash.
+
+_TS_EPOCH = "2023-02-06 12:00:00"
+
+
+def _doc_ts() -> F.Column:
+    return F.to_timestamp(F.lit(_TS_EPOCH)) + F.make_interval(
+        hours=F.col("doc_id").cast("int")
+    )
+
+
+def _timed_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _words(_docs(spark, sf_dir))
+    g = F.broadcast(_gazetteer_df(spark))
+    return w.join(g, "word").select(
+        F.concat("word", F.lit("/"), "category").alias("entity"),
+        "doc_id",
+        _doc_ts().alias("ts"),
+    )
+
+
+_TIMED_CTE_SUFFIX = f"""
+, tm AS (
+  SELECT g.word || '/' || g.category AS entity, w.doc_id,
+         TIMESTAMP '{_TS_EPOCH}' + w.doc_id * INTERVAL 1 HOUR AS ts
+  FROM w JOIN (VALUES {GAZ_VALUES_SQL}) g(word, category)
+    ON w.word = g.word
+)
+"""
+
+
+def kg_entity_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity temporal profile — first/last sighting, mention and
+    document counts, distinct active days. The KG consumable behind
+    'when did this entity appear' timelines. ONE groupBy on the
+    (vocabulary-scale) entity key."""
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return _timed_mentions(spark, sf_dir).groupBy("entity").agg(
+        F.date_format(F.min("ts"), fmt).alias("firstSeen"),
+        F.date_format(F.max("ts"), fmt).alias("lastSeen"),
+        F.count("*").cast("long").alias("nMentions"),
+        F.countDistinct("doc_id").cast("long").alias("nDocs"),
+        F.countDistinct(F.to_date("ts")).cast("long").alias("activeDays"),
+    )
+
+
+ORACLE_KG_ENTITY_TIMELINE = _MENTIONS_CTE + _TIMED_CTE_SUFFIX + """
+SELECT entity,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS firstSeen,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS lastSeen,
+       CAST(count(*) AS BIGINT) AS nMentions,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS nDocs,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS activeDays
+FROM tm GROUP BY entity
+"""
+
+
+def kg_entity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity weekly trend summary: the peak week (Monday-start,
+    deterministic ties: mentions desc then week asc) and breadth
+    (distinct active weeks). Two vocabulary-scale aggs + one window
+    over the tiny (entity, week) table — burst detection's batch
+    shape."""
+    from pyspark.sql import Window as W
+
+    wk = (
+        _timed_mentions(spark, sf_dir)
+        .groupBy(
+            "entity",
+            F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+            .alias("week"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    r = F.row_number().over(
+        W.partitionBy("entity").orderBy(F.desc("n"), F.asc("week"))
+    )
+    return (
+        wk.withColumn("_r", r)
+        .groupBy("entity")
+        .agg(
+            F.max(F.when(F.col("_r") == 1, F.col("week"))).alias("peakWeek"),
+            F.max(F.when(F.col("_r") == 1, F.col("n"))).alias("peakMentions"),
+            F.count("*").cast("long").alias("nWeeks"),
+        )
+    )
+
+
+ORACLE_KG_ENTITY_TREND = _MENTIONS_CTE + _TIMED_CTE_SUFFIX + """
+, wk AS (
+  SELECT entity, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+         CAST(count(*) AS BIGINT) AS n
+  FROM tm GROUP BY entity, week
+), rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY entity ORDER BY n DESC, week ASC
+  ) AS r
+  FROM wk
+)
+SELECT entity,
+       max(CASE WHEN r = 1 THEN week END) AS peakWeek,
+       max(CASE WHEN r = 1 THEN n END) AS peakMentions,
+       CAST(count(*) AS BIGINT) AS nWeeks
+FROM rk GROUP BY entity
+"""
+
+
 # ---------------------------------------------------------- registry
 
 QUERIES = {
@@ -4933,7 +5232,6 @@ QUERIES = {
     "kg_full_pipeline": (kg_full_pipeline, ORACLE_KG_FULL_PIPELINE),
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_wordset": (dedup_wordset, ORACLE_DEDUP_WORDSET),
-    "dedup_minhash_sig": (dedup_minhash_sig, ORACLE_DEDUP_MINHASH_SIG),
     "dedup_minhash_pairs": (dedup_minhash_pairs, ORACLE_DEDUP_MINHASH_PAIRS),
     "dedup_minhash_assign": (dedup_minhash_assign, ORACLE_DEDUP_MINHASH_ASSIGN),
     "dedup_incremental_neardup": (
@@ -4942,9 +5240,6 @@ QUERIES = {
     "decontaminate_ngram": (decontaminate_ngram, ORACLE_DECONTAMINATE_NGRAM),
     "kg_entity_pagerank": (kg_entity_pagerank, ORACLE_KG_ENTITY_PAGERANK),
     "kg_entity_linking": (kg_entity_linking, ORACLE_KG_ENTITY_LINKING),
-    "kg_linked_appears_in": (
-        kg_linked_appears_in, ORACLE_KG_LINKED_APPEARS_IN,
-    ),
     "kg_entity_communities": (
         kg_entity_communities, ORACLE_KG_ENTITY_COMMUNITIES,
     ),
@@ -4965,9 +5260,6 @@ QUERIES = {
     "dedup_substring_spans": (
         dedup_substring_spans, ORACLE_DEDUP_SUBSTRING_SPANS,
     ),
-    "dedup_substring_apply": (
-        dedup_substring_apply, ORACLE_DEDUP_SUBSTRING_APPLY,
-    ),
     "dedup_semantic": (dedup_semantic, ORACLE_DEDUP_SEMANTIC),
     "quality_score": (quality_score, ORACLE_QUALITY_SCORE),
     "pii_scrub": (pii_scrub, ORACLE_PII_SCRUB),
@@ -4981,13 +5273,26 @@ QUERIES = {
     "ann_lsh_topk": (ann_lsh_topk, ORACLE_ANN_LSH_TOPK),
     "ann_ivf_topk": (ann_ivf_topk, ORACLE_ANN_IVF_TOPK),
     "ann_ivf_train": (ann_ivf_train, ORACLE_ANN_IVF_TRAIN),
-    "ann_ivf_recall": (ann_ivf_recall, ORACLE_ANN_RECALL),
     "media_embed_neardup": (media_embed_neardup, ORACLE_MEDIA_EMBED_NEARDUP),
-    "embed_neardup": (embed_neardup, ORACLE_EMBED_NEARDUP),
     "bpe_train_merges": (bpe_train_merges, ORACLE_BPE_TRAIN_MERGES),
+    "web_host_graph": (web_host_graph, ORACLE_WEB_HOST_GRAPH),
+    "web_host_pagerank": (web_host_pagerank, ORACLE_WEB_HOST_PAGERANK),
+    "web_url_canonical": (web_url_canonical, ORACLE_WEB_URL_CANONICAL),
+    "kg_entity_timeline": (kg_entity_timeline, ORACLE_KG_ENTITY_TIMELINE),
+    "kg_entity_trend": (kg_entity_trend, ORACLE_KG_ENTITY_TREND),
     # ---- entries below sit past the driver's 50-slot correctness
     # window (variants, gates, and generic demos); every one is still
     # oracle-verified each run by tests/test_oracle_parity.py
+    "web_link_edges": (web_link_edges, ORACLE_WEB_LINK_EDGES),
+    "dedup_minhash_sig": (dedup_minhash_sig, ORACLE_DEDUP_MINHASH_SIG),
+    "kg_linked_appears_in": (
+        kg_linked_appears_in, ORACLE_KG_LINKED_APPEARS_IN,
+    ),
+    "dedup_substring_apply": (
+        dedup_substring_apply, ORACLE_DEDUP_SUBSTRING_APPLY,
+    ),
+    "ann_ivf_recall": (ann_ivf_recall, ORACLE_ANN_RECALL),
+    "embed_neardup": (embed_neardup, ORACLE_EMBED_NEARDUP),
     "doc_fingerprint": (doc_fingerprint, ORACLE_DOC_FINGERPRINT),
     "lang_id": (lang_id, ORACLE_LANG_ID),
     "text_stats": (text_stats, ORACLE_TEXT_STATS),

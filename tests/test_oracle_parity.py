@@ -34,6 +34,12 @@ TABLES = (
 # flagship entries that must produce non-degenerate (row-bearing)
 # results at sf0.001 — a 0-row == 0-row "pass" would be vacuous here
 NONEMPTY = {
+    "web_link_edges",
+    "web_host_graph",
+    "web_host_pagerank",
+    "web_url_canonical",
+    "kg_entity_timeline",
+    "kg_entity_trend",
     "kg_full_pipeline",
     "kg_appears_in",
     "dedup_minhash_assign",

@@ -1,0 +1,203 @@
+"""Web link-graph family (operators/weblinks.py): extraction
+semantics on hostile markup, URL-canonicalization edge cases,
+host-graph plan shape, and directed-PageRank invariants (dangling
+mass, determinism across parallelism)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from datashare_extension_neo4j_spark.operators.weblinks import (
+    canonical_url,
+    extract_links,
+    host_graph,
+    synth_link_pages,
+    url_host,
+)
+
+
+def _pages(spark, html: str):
+    return spark.createDataFrame(
+        [Row(url="https://src.example.org/p", html=html.encode())],
+        "url string, html binary",
+    )
+
+
+def test_extract_links_basic(spark):
+    html = (
+        '<html><body><a href="https://a.test/x?q=1#f">first link</a>\n'
+        'text <a href="https://b.test/y" rel="nofollow">second</a>'
+        "</body></html>"
+    )
+    rows = extract_links(_pages(spark, html)).collect()
+    assert [(r.dstUrl, r.anchorText) for r in rows] == [
+        ("https://a.test/x?q=1#f", "first link"),
+        ("https://b.test/y", "second"),
+    ]
+    assert all(r.srcUrl == "https://src.example.org/p" for r in rows)
+
+
+def test_extract_links_hostile_markup(spark):
+    # unclosed tags, nested elements inside the anchor (skipped: the
+    # extractor takes textual anchors only), empty anchor text
+    html = (
+        '<a href="https://x.test/1"></a>'
+        '<a href="https://x.test/2"><img src="z"/></a>'
+        '<a href="https://x.test/3">ok</a><a href="broken'
+    )
+    rows = extract_links(_pages(spark, html)).collect()
+    got = {(r.dstUrl, r.anchorText) for r in rows}
+    assert ("https://x.test/1", "") in got
+    assert ("https://x.test/3", "ok") in got
+    # nested-markup anchor is not a textual anchor; truncated tag dropped
+    assert all("broken" not in r.dstUrl for r in rows)
+
+
+@pytest.mark.parametrize(
+    "raw,want",
+    [
+        ("https://A.Test/Path/#frag", "https://a.test/path"),
+        ("https://a.test/p?utm_source=x&id=1", "https://a.test/p?id=1"),
+        ("https://a.test/p?id=1&utm_medium=m&ref=r", "https://a.test/p?id=1"),
+        ("https://a.test/p?utm_source=x&ref=1#s", "https://a.test/p"),
+        ("https://a.test/p?fbclid=abc", "https://a.test/p"),
+        ("https://a.test/", "https://a.test"),
+        ("https://a.test/p?id=1", "https://a.test/p?id=1"),
+    ],
+)
+def test_canonical_url_cases(spark, raw, want):
+    got = (
+        spark.createDataFrame([Row(u=raw)])
+        .select(canonical_url(F.col("u")).alias("c"))
+        .first()
+        .c
+    )
+    assert got == want
+
+
+def test_synth_links_capped_and_ordered(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(
+                doc_id=7,
+                text="alpha1 beta22 alpha1 gamma3 tiny delta4 epsil5 zeta66 eta777",
+                source="src3",
+            )
+        ],
+        "doc_id long, text string, source string",
+    )
+    links = extract_links(synth_link_pages(docs)).collect()
+    # distinct >=5-char words, first-occurrence order, capped at 6
+    assert [r.anchorText for r in links] == [
+        "alpha1", "beta22", "gamma3", "delta4", "epsil5", "zeta66",
+    ]
+    assert links[0].srcUrl == "https://src3.example.org/doc-7"
+    assert links[0].dstUrl.startswith(
+        "https://alpha1.example.net/wiki/alpha1?utm_source=src3&ref=7"
+    )
+
+
+def test_extraction_is_jvm_only(spark):
+    df = extract_links(synth_link_pages(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_host_graph_shuffles_bounded(spark):
+    # nLinks alone would be one exchange; countDistinct(srcUrl) adds
+    # the distinct-rewrite's second (both partial-aggregated map-side,
+    # both on host keys — no corpus-width shuffle). Guard the bound so
+    # a regression to 3+ exchanges is caught.
+    df = host_graph(extract_links(synth_link_pages(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2
+
+
+def test_url_host(spark):
+    got = (
+        spark.createDataFrame([Row(u="https://h.example.net/wiki/x?q=1")])
+        .select(url_host(F.col("u")).alias("h"))
+        .first()
+        .h
+    )
+    assert got == "h.example.net"
+
+
+def _toy_edges(spark):
+    # a -> b, a -> c, b -> c ; c dangling
+    return spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", 1), ("b", "c", 3)],
+        "src string, dst string, w int",
+    )
+
+
+def test_pagerank_directed_mass_conserved(spark):
+    from datashare_extension_neo4j_spark.operators.graph_algos import (
+        pagerank_directed,
+    )
+
+    pr = pagerank_directed(_toy_edges(spark), weight="w", iterations=8)
+    ranks = {r.node: r.rank for r in pr.collect()}
+    # normalized formulation: total mass stays ~1 (rounding noise only)
+    assert abs(sum(ranks.values()) - 1.0) < 1e-3
+    # c receives from both a and b plus never emits: highest rank
+    assert ranks["c"] > ranks["b"] > 0
+    assert ranks["a"] > 0
+
+
+def test_pagerank_directed_weight_sensitivity(spark):
+    from datashare_extension_neo4j_spark.operators.graph_algos import (
+        pagerank_directed,
+    )
+
+    # b -> c carries 3x the weight of b -> d: c must outrank d
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 3), ("b", "d", 1)],
+        "src string, dst string, w int",
+    )
+    ranks = {
+        r.node: r.rank
+        for r in pagerank_directed(edges, weight="w", iterations=6).collect()
+    }
+    assert ranks["c"] > ranks["d"]
+
+
+def test_pagerank_directed_deterministic_across_partitioning(spark):
+    from datashare_extension_neo4j_spark.operators.graph_algos import (
+        pagerank_directed,
+    )
+
+    e = _toy_edges(spark)
+    a = sorted(map(tuple, pagerank_directed(e, weight="w").collect()))
+    b = sorted(
+        map(tuple, pagerank_directed(e.repartition(7), weight="w").collect())
+    )
+    assert a == b
+
+
+def test_pagerank_storage_bounded(spark):
+    """Per-round checkpoint rotation: after the loop returns, at most
+    the final ranks checkpoint remains persisted (same discipline as
+    the undirected loop)."""
+    from datashare_extension_neo4j_spark.operators.graph_algos import (
+        pagerank_directed,
+    )
+
+    before = {
+        int(i)
+        for i in spark.sparkContext._jsc.getPersistentRDDs()
+        .keySet()
+        .toArray()
+    }
+    pagerank_directed(_toy_edges(spark), weight="w", iterations=6)
+    after = {
+        int(i)
+        for i in spark.sparkContext._jsc.getPersistentRDDs()
+        .keySet()
+        .toArray()
+    }
+    assert len(after - before) <= 1
