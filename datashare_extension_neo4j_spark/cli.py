@@ -441,6 +441,45 @@ def cmd_relations(args) -> int:
     return 0
 
 
+def cmd_weblinks(args) -> int:
+    """Webgraph consumable: materialize the hyperlink family over a
+    corpus — the per-anchor link edge stream, host-level link graph,
+    host PageRank (directed, dangling-aware), canonical-URL rollup,
+    and anchor-text alias table — as five parquet tables under one
+    output dir with a JSON row-count summary. The crawl-side bundle a
+    frontier scheduler / entity linker loads next to the KG tables."""
+    from .operators.graph_algos import release_long_lived_checkpoints
+    from .queries import (
+        web_anchor_aliases,
+        web_host_graph,
+        web_host_pagerank,
+        web_link_edges,
+        web_url_canonical,
+    )
+
+    spark = _spark(args.master)
+    tables = {
+        "link_edges": web_link_edges,
+        "host_graph": web_host_graph,
+        "host_pagerank": web_host_pagerank,
+        "url_canonical": web_url_canonical,
+        "anchor_aliases": web_anchor_aliases,
+    }
+    counts = {}
+    for name, fn in tables.items():
+        out = f"{args.out}/{name}"
+        fn(spark, args.sf_dir).write.mode("overwrite").parquet(out)
+        counts[name] = spark.read.parquet(out).count()
+    released = release_long_lived_checkpoints(spark)
+    print(
+        json.dumps(
+            {**counts, "released_ckpt_blocks": released, "out": args.out},
+            sort_keys=True,
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="datashare_extension_neo4j_spark")
     p.add_argument("--master", default=None)
@@ -568,6 +607,13 @@ def main(argv: list[str] | None = None) -> int:
     rl.add_argument("--out", required=True,
                     help="output dir for the four relation tables")
     rl.set_defaults(fn=cmd_relations)
+
+    wl = sub.add_parser("weblinks")
+    wl.add_argument("--sf-dir", required=True,
+                    help="table directory holding documents.parquet")
+    wl.add_argument("--out", required=True,
+                    help="output dir for the five webgraph tables")
+    wl.set_defaults(fn=cmd_weblinks)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -253,6 +253,10 @@ def pagerank(
         _unpersist_rdd_ids(spark, rank_ids)
         rank_ids = new_ids
     _unpersist_rdd_ids(spark, sym_ids)
+    # the final ranks checkpoint backs the returned DataFrame — make
+    # it reclaimable by long-lived drivers via
+    # release_long_lived_checkpoints once consumed
+    _register_long_lived(spark, rank_ids)
     return ranks.select("node", "rank")
 
 
@@ -338,4 +342,5 @@ def pagerank_directed(
         _unpersist_rdd_ids(spark, rank_ids)
         rank_ids = new_ids
     _unpersist_rdd_ids(spark, ew_ids | node_ids)
+    _register_long_lived(spark, rank_ids)
     return ranks.select("node", "rank")

@@ -54,6 +54,14 @@ def synth_link_pages(docs: DataFrame) -> DataFrame:
         1,
         LINKS_PER_DOC,
     )
+    # anchor surface varies by page (word / WORD / "word online") so the
+    # same target URL accumulates several alias forms — the signal
+    # web_anchor_aliases mines; rule mirrored in the SQL oracles
+    surface = lambda w: (
+        F.when(i % 3 == 0, w)
+        .when(i % 3 == 1, F.upper(w))
+        .otherwise(F.concat(w, F.lit(" online")))
+    )
     anchors = F.transform(
         words,
         lambda w: F.concat(
@@ -66,7 +74,7 @@ def synth_link_pages(docs: DataFrame) -> DataFrame:
             F.lit("&ref="),
             i,
             F.lit('#s1">'),
-            w,
+            surface(w),
             F.lit("</a>"),
         ),
     )

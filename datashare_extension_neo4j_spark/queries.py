@@ -4956,7 +4956,9 @@ WITH t AS (
   SELECT 'https://' || source || '.example.org/doc-' || doc_id AS srcUrl,
          'https://' || word || '.example.net/wiki/' || word ||
            '?utm_source=' || source || '&ref=' || doc_id || '#s1' AS dstUrl,
-         word AS anchorText,
+         CASE WHEN doc_id % 3 = 0 THEN word
+              WHEN doc_id % 3 = 1 THEN upper(word)
+              ELSE word || ' online' END AS anchorText,
          source || '.example.org' AS srcHost,
          word || '.example.net' AS dstHost,
          word
@@ -5104,6 +5106,103 @@ def _web_pagerank_oracle_sql() -> str:
 ORACLE_WEB_HOST_PAGERANK = _web_pagerank_oracle_sql()
 
 
+def web_anchor_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text alias mining — the classic KB alias source: every
+    anchor pointing at the same canonical URL contributes a surface
+    form, so the per-URL set of distinct anchor texts IS the alias
+    table entity linking consumes ("batch" / "BATCH" / "batch online"
+    → one target). Sorted '|'-joined alias sets per repo array
+    convention; one groupBy on the (vocabulary-scale) canonical URL."""
+    from .operators.weblinks import canonical_url, extract_links
+
+    links = extract_links(_link_pages(spark, sf_dir))
+    return (
+        links.select(
+            canonical_url(F.col("dstUrl")).alias("url"), "anchorText"
+        )
+        .groupBy("url")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("anchorText")), "|"
+            ).alias("aliases"),
+            F.countDistinct("anchorText").cast("long").alias("nForms"),
+            F.count("*").cast("long").alias("nLinks"),
+        )
+    )
+
+
+ORACLE_WEB_ANCHOR_ALIASES = (
+    _links_cte()
+    + """
+SELECT 'https://' || word || '.example.net/wiki/' || word AS url,
+       array_to_string(list_sort(list(DISTINCT anchorText)), '|') AS aliases,
+       CAST(count(DISTINCT anchorText) AS BIGINT) AS nForms,
+       CAST(count(*) AS BIGINT) AS nLinks
+FROM links GROUP BY 1
+"""
+)
+
+
+_CRAWL_WAVE_CAP = 4  # urls fetched per host per politeness wave
+
+
+def web_crawl_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-bounded crawl scheduling: per host, order the
+    frontier by (discovery ts, url) and cut it into fixed-size waves
+    (≤ _CRAWL_WAVE_CAP urls per host per wave) — wave k is the batch
+    a rate-limited fetcher issues in round k. Output is the per-
+    (host, wave) schedule summary. One window over the host key + one
+    host-scale agg; no corpus-wide shuffle beyond the host partition."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    frontier = d.select(
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.org/doc-"),
+            F.col("doc_id"),
+        ).alias("url"),
+        _doc_ts().alias("ts"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("host").orderBy(F.asc("ts"), F.asc("url"))
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        frontier.withColumn(
+            "wave", ((rk - F.lit(1)) / F.lit(_CRAWL_WAVE_CAP)).cast("long")
+        )
+        .groupBy("host", "wave")
+        .agg(
+            F.count("*").cast("long").alias("nUrls"),
+            F.date_format(F.min("ts"), fmt).alias("firstTs"),
+            F.min("url").alias("firstUrl"),
+        )
+    )
+
+
+ORACLE_WEB_CRAWL_WAVES = f"""
+WITH f AS (
+  SELECT source || '.example.org' AS host,
+         'https://' || source || '.example.org/doc-' || doc_id AS url,
+         TIMESTAMP '2023-02-06 12:00:00' + doc_id * INTERVAL 1 HOUR AS ts
+  FROM documents
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY host ORDER BY ts ASC, url ASC
+  ) AS rk
+  FROM f
+)
+SELECT host, CAST((rk - 1) // {_CRAWL_WAVE_CAP} AS BIGINT) AS wave,
+       CAST(count(*) AS BIGINT) AS nUrls,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS firstTs,
+       min(url) AS firstUrl
+FROM r GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------- temporal KG
 
 # Mention timestamps follow the fixtures.reference_pages convention:
@@ -5231,7 +5330,6 @@ QUERIES = {
     "kg_dump_default": (kg_dump_default, ORACLE_KG_DUMP_DEFAULT),
     "kg_full_pipeline": (kg_full_pipeline, ORACLE_KG_FULL_PIPELINE),
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
-    "dedup_wordset": (dedup_wordset, ORACLE_DEDUP_WORDSET),
     "dedup_minhash_pairs": (dedup_minhash_pairs, ORACLE_DEDUP_MINHASH_PAIRS),
     "dedup_minhash_assign": (dedup_minhash_assign, ORACLE_DEDUP_MINHASH_ASSIGN),
     "dedup_incremental_neardup": (
@@ -5261,7 +5359,6 @@ QUERIES = {
         dedup_substring_spans, ORACLE_DEDUP_SUBSTRING_SPANS,
     ),
     "dedup_semantic": (dedup_semantic, ORACLE_DEDUP_SEMANTIC),
-    "quality_score": (quality_score, ORACLE_QUALITY_SCORE),
     "pii_scrub": (pii_scrub, ORACLE_PII_SCRUB),
     "curate_corpus": (curate_corpus, ORACLE_CURATE_CORPUS),
     "classifier_quality": (classifier_quality, ORACLE_CLASSIFIER_QUALITY),
@@ -5278,12 +5375,16 @@ QUERIES = {
     "web_host_graph": (web_host_graph, ORACLE_WEB_HOST_GRAPH),
     "web_host_pagerank": (web_host_pagerank, ORACLE_WEB_HOST_PAGERANK),
     "web_url_canonical": (web_url_canonical, ORACLE_WEB_URL_CANONICAL),
+    "web_anchor_aliases": (web_anchor_aliases, ORACLE_WEB_ANCHOR_ALIASES),
+    "web_crawl_waves": (web_crawl_waves, ORACLE_WEB_CRAWL_WAVES),
     "kg_entity_timeline": (kg_entity_timeline, ORACLE_KG_ENTITY_TIMELINE),
     "kg_entity_trend": (kg_entity_trend, ORACLE_KG_ENTITY_TREND),
     # ---- entries below sit past the driver's 50-slot correctness
     # window (variants, gates, and generic demos); every one is still
     # oracle-verified each run by tests/test_oracle_parity.py
     "web_link_edges": (web_link_edges, ORACLE_WEB_LINK_EDGES),
+    "dedup_wordset": (dedup_wordset, ORACLE_DEDUP_WORDSET),
+    "quality_score": (quality_score, ORACLE_QUALITY_SCORE),
     "dedup_minhash_sig": (dedup_minhash_sig, ORACLE_DEDUP_MINHASH_SIG),
     "kg_linked_appears_in": (
         kg_linked_appears_in, ORACLE_KG_LINKED_APPEARS_IN,

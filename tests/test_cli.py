@@ -200,3 +200,23 @@ def test_cli_relations_bundle(spark, tmp_path, capsys):
     assert set(t.columns) == {
         "subj", "predicate", "obj", "nMentionPairs", "nDocs", "minGap"
     }
+
+
+def test_cli_weblinks_bundle(spark, tmp_path, capsys):
+    """weblinks materializes the five webgraph tables with counts and
+    releases the PageRank loop's final checkpoint before exit."""
+    out = str(tmp_path / "web")
+    assert main(["weblinks", "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", out]) == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["link_edges"] > 0
+    assert r["host_graph"] > 0
+    assert r["host_pagerank"] > 0
+    assert r["url_canonical"] > 0
+    assert r["anchor_aliases"] > 0
+    assert r["released_ckpt_blocks"] >= 1
+    pr = spark.read.parquet(out + "/host_pagerank")
+    assert set(pr.columns) == {"host", "pagerank"}
+    al = spark.read.parquet(out + "/anchor_aliases").collect()
+    # alias mining is non-degenerate: some target carries >1 surface
+    assert any(row.nForms > 1 for row in al)

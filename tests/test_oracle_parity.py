@@ -38,6 +38,8 @@ NONEMPTY = {
     "web_host_graph",
     "web_host_pagerank",
     "web_url_canonical",
+    "web_anchor_aliases",
+    "web_crawl_waves",
     "kg_entity_timeline",
     "kg_entity_trend",
     "kg_full_pipeline",

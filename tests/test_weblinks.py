@@ -87,9 +87,10 @@ def test_synth_links_capped_and_ordered(spark):
         "doc_id long, text string, source string",
     )
     links = extract_links(synth_link_pages(docs)).collect()
-    # distinct >=5-char words, first-occurrence order, capped at 6
+    # distinct >=5-char words, first-occurrence order, capped at 6;
+    # doc_id 7 % 3 == 1 selects the uppercase alias surface
     assert [r.anchorText for r in links] == [
-        "alpha1", "beta22", "gamma3", "delta4", "epsil5", "zeta66",
+        "ALPHA1", "BETA22", "GAMMA3", "DELTA4", "EPSIL5", "ZETA66",
     ]
     assert links[0].srcUrl == "https://src3.example.org/doc-7"
     assert links[0].dstUrl.startswith(
