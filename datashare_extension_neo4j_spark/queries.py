@@ -5203,6 +5203,90 @@ FROM r GROUP BY 1, 2
 """
 
 
+def web_domain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site clustering + host degree profile: weakly-connected
+    components over the host link graph (undirected; ``site`` =
+    lexicographic min host per component — the crawl-partitioning unit
+    that keeps intra-site links executor-local) plus per-host in/out
+    degree. CC runs hash-min + pointer jumping with per-round
+    checkpoint rotation (operators/graph_algos.py); degrees are two
+    host-scale aggs joined back — everything downstream of the ONE
+    corpus-scale host_graph agg."""
+    from .operators.graph_algos import connected_components
+    from .operators.weblinks import extract_links, host_graph
+
+    hg = host_graph(extract_links(_link_pages(spark, sf_dir))).select(
+        "srcHost", "dstHost"
+    )
+    cc = connected_components(hg, "srcHost", "dstHost")
+    hosts = (
+        hg.select(F.col("srcHost").alias("host"))
+        .unionByName(hg.select(F.col("dstHost").alias("host")))
+        .distinct()
+    )
+    od = hg.groupBy(F.col("srcHost").alias("host")).agg(
+        F.count("*").cast("long").alias("outDeg")
+    )
+    ig = hg.groupBy(F.col("dstHost").alias("host")).agg(
+        F.count("*").cast("long").alias("inDeg")
+    )
+    return (
+        hosts.join(cc, hosts.host == cc.node, "left")
+        .select(
+            "host", F.coalesce("comp", F.col("host")).alias("site")
+        )
+        .join(od, "host", "left")
+        .join(ig, "host", "left")
+        .select(
+            "host",
+            "site",
+            F.coalesce("outDeg", F.lit(0)).cast("long").alias("outDeg"),
+            F.coalesce("inDeg", F.lit(0)).cast("long").alias("inDeg"),
+        )
+    )
+
+
+ORACLE_WEB_DOMAIN_COMPONENTS = (
+    "WITH RECURSIVE "
+    + _links_cte().replace("WITH ", "", 1)
+    + """
+, hg AS (
+  SELECT DISTINCT srcHost, dstHost FROM links
+), sym AS (
+  -- explicit DISTINCT: under WITH RECURSIVE DuckDB applies
+  -- keep-duplicates union semantics to EVERY cte in the clause
+  SELECT DISTINCT a, b FROM (
+    SELECT srcHost AS a, dstHost AS b FROM hg
+    UNION ALL SELECT dstHost, srcHost FROM hg
+  ) u
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), comp AS (
+  SELECT a, least(a, min(b)) AS comp FROM reach GROUP BY a
+), hosts AS (
+  SELECT DISTINCT host FROM (
+    SELECT srcHost AS host FROM hg UNION ALL SELECT dstHost FROM hg
+  ) u
+), od AS (
+  SELECT srcHost AS host, CAST(count(*) AS BIGINT) AS outDeg
+  FROM hg GROUP BY srcHost
+), ig AS (
+  SELECT dstHost AS host, CAST(count(*) AS BIGINT) AS inDeg
+  FROM hg GROUP BY dstHost
+)
+SELECT h.host, coalesce(c.comp, h.host) AS site,
+       coalesce(od.outDeg, 0) AS outDeg,
+       coalesce(ig.inDeg, 0) AS inDeg
+FROM hosts h
+LEFT JOIN comp c ON c.a = h.host
+LEFT JOIN od ON od.host = h.host
+LEFT JOIN ig ON ig.host = h.host
+"""
+)
+
+
 # ------------------------------------------------- temporal KG
 
 # Mention timestamps follow the fixtures.reference_pages convention:
@@ -5383,6 +5467,9 @@ QUERIES = {
     # window (variants, gates, and generic demos); every one is still
     # oracle-verified each run by tests/test_oracle_parity.py
     "web_link_edges": (web_link_edges, ORACLE_WEB_LINK_EDGES),
+    "web_domain_components": (
+        web_domain_components, ORACLE_WEB_DOMAIN_COMPONENTS,
+    ),
     "dedup_wordset": (dedup_wordset, ORACLE_DEDUP_WORDSET),
     "quality_score": (quality_score, ORACLE_QUALITY_SCORE),
     "dedup_minhash_sig": (dedup_minhash_sig, ORACLE_DEDUP_MINHASH_SIG),

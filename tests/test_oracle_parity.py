@@ -39,6 +39,7 @@ NONEMPTY = {
     "web_host_pagerank",
     "web_url_canonical",
     "web_anchor_aliases",
+    "web_domain_components",
     "web_crawl_waves",
     "kg_entity_timeline",
     "kg_entity_trend",
