@@ -447,29 +447,67 @@ def cmd_weblinks(args) -> int:
     host PageRank (directed, dangling-aware), canonical-URL rollup,
     and anchor-text alias table — as five parquet tables under one
     output dir with a JSON row-count summary. The crawl-side bundle a
-    frontier scheduler / entity linker loads next to the KG tables."""
-    from .operators.graph_algos import release_long_lived_checkpoints
-    from .queries import (
-        web_anchor_aliases,
-        web_host_graph,
-        web_host_pagerank,
-        web_link_edges,
-        web_url_canonical,
+    frontier scheduler / entity linker loads next to the KG tables.
+
+    Anchor extraction runs ONCE: downstream tables are derived from
+    the link_edges parquet written first (at corpus scale the regexp
+    extraction pass dominates — never repeat it per output table)."""
+    from pyspark.sql import functions as F
+
+    from .operators.graph_algos import (
+        pagerank_directed,
+        release_long_lived_checkpoints,
     )
+    from .operators.weblinks import (
+        canonical_url,
+        extract_links,
+        host_graph,
+        url_host,
+    )
+    from .queries import _link_pages
 
     spark = _spark(args.master)
-    tables = {
-        "link_edges": web_link_edges,
-        "host_graph": web_host_graph,
-        "host_pagerank": web_host_pagerank,
-        "url_canonical": web_url_canonical,
-        "anchor_aliases": web_anchor_aliases,
-    }
     counts = {}
-    for name, fn in tables.items():
+
+    def _write(name, df):
         out = f"{args.out}/{name}"
-        fn(spark, args.sf_dir).write.mode("overwrite").parquet(out)
-        counts[name] = spark.read.parquet(out).count()
+        df.write.mode("overwrite").parquet(out)
+        got = spark.read.parquet(out)
+        counts[name] = got.count()
+        return got
+
+    links = _write(
+        "link_edges", extract_links(_link_pages(spark, args.sf_dir))
+    )
+    hg = _write("host_graph", host_graph(links))
+    _write(
+        "host_pagerank",
+        pagerank_directed(
+            hg, src="srcHost", dst="dstHost", weight="nLinks", digits=6
+        ).select(F.col("node").alias("host"), F.col("rank").alias("pagerank")),
+    )
+    canon = links.select(
+        canonical_url(F.col("dstUrl")).alias("url"),
+        url_host(F.col("srcUrl")).alias("srcHost"),
+        "anchorText",
+    )
+    _write(
+        "url_canonical",
+        canon.groupBy("url").agg(
+            F.count("*").cast("long").alias("nLinks"),
+            F.countDistinct("srcHost").cast("long").alias("nSources"),
+        ),
+    )
+    _write(
+        "anchor_aliases",
+        canon.groupBy("url").agg(
+            F.array_join(
+                F.array_sort(F.collect_set("anchorText")), "|"
+            ).alias("aliases"),
+            F.countDistinct("anchorText").cast("long").alias("nForms"),
+            F.count("*").cast("long").alias("nLinks"),
+        ),
+    )
     released = release_long_lived_checkpoints(spark)
     print(
         json.dumps(

@@ -5178,7 +5178,9 @@ def web_crawl_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("nUrls"),
             F.date_format(F.min("ts"), fmt).alias("firstTs"),
-            F.min("url").alias("firstUrl"),
+            # the url fetched FIRST in the wave (fetch order = ts; ts
+            # is unique per url in the corpus model), not min(url)
+            F.min_by("url", "ts").alias("firstUrl"),
         )
     )
 
@@ -5198,7 +5200,7 @@ WITH f AS (
 SELECT host, CAST((rk - 1) // {_CRAWL_WAVE_CAP} AS BIGINT) AS wave,
        CAST(count(*) AS BIGINT) AS nUrls,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS firstTs,
-       min(url) AS firstUrl
+       arg_min(url, ts) AS firstUrl
 FROM r GROUP BY 1, 2
 """
 
