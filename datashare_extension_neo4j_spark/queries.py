@@ -5289,6 +5289,126 @@ LEFT JOIN ig ON ig.host = h.host
 )
 
 
+# ------------------------------------------- crawl capture history
+
+# Web-archive (CDX-style) operations over repeated captures of the
+# same page: the capture model maps several fetches onto one logical
+# page URL (doc_id % _CAPTURE_PAGES per host), each stamped with the
+# fixture timestamp and an md5 content fingerprint — deterministic on
+# both engines, so latest-capture dedup and change detection carry
+# full hash oracles.
+
+_CAPTURE_PAGES = 100  # logical pages per host in the capture model
+
+
+def _captures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.org/page-"),
+            F.col("doc_id") % _CAPTURE_PAGES,
+        ).alias("pageUrl"),
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+        _doc_ts().alias("ts"),
+        F.md5(F.encode(F.coalesce("text", F.lit("")), "utf-8")).alias(
+            "contentHash"
+        ),
+    )
+
+
+_CAPTURES_CTE = f"""
+WITH cap AS (
+  SELECT 'https://' || source || '.example.org/page-'
+           || (doc_id % {_CAPTURE_PAGES}) AS pageUrl,
+         source || '.example.org' AS host,
+         TIMESTAMP '2023-02-06 12:00:00' + doc_id * INTERVAL 1 HOUR AS ts,
+         md5(coalesce(text, '')) AS contentHash
+  FROM documents
+)
+"""
+
+
+def crawl_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-capture dedup — the CDX 'most recent capture per URL'
+    query an index serves: per logical page, the newest fetch's
+    timestamp and content fingerprint plus the capture count. ONE
+    groupBy on the page key; max_by keeps the newest hash without a
+    sort (ts is unique in the capture model, so the pick is
+    deterministic cross-engine)."""
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return _captures(spark, sf_dir).groupBy("pageUrl").agg(
+        F.date_format(F.max("ts"), fmt).alias("lastTs"),
+        F.max_by("contentHash", "ts").alias("latestHash"),
+        F.count("*").cast("long").alias("nCaptures"),
+    )
+
+
+ORACLE_CRAWL_LATEST_CAPTURE = _CAPTURES_CTE + """
+SELECT pageUrl,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS lastTs,
+       arg_max(contentHash, ts) AS latestHash,
+       CAST(count(*) AS BIGINT) AS nCaptures
+FROM cap GROUP BY pageUrl
+"""
+
+
+def crawl_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host change detection across consecutive captures: a
+    capture COUNTS as changed when its fingerprint differs from the
+    previous capture of the same page (lag over the page timeline).
+    changeRatio = changes / captures-with-a-predecessor (null when a
+    host has no recaptures). The recrawl-scheduling signal: hosts
+    with high change ratios earn higher crawl budgets.
+
+    Scale shape: one pageUrl-partitioned lag window + one host-scale
+    agg — no corpus-wide shuffle beyond the page key."""
+    from pyspark.sql import Window as W
+
+    prev = F.lag("contentHash").over(
+        W.partitionBy("pageUrl").orderBy(F.asc("ts"))
+    )
+    c = _captures(spark, sf_dir).withColumn(
+        "changed",
+        F.when(prev.isNull(), F.lit(None).cast("int")).otherwise(
+            (F.col("contentHash") != prev).cast("int")
+        ),
+    )
+    return c.groupBy("host").agg(
+        F.countDistinct("pageUrl").cast("long").alias("nPages"),
+        F.count("*").cast("long").alias("nCaptures"),
+        F.coalesce(F.sum("changed"), F.lit(0)).cast("long").alias("nChanges"),
+        F.round(
+            F.sum("changed")
+            / F.nullif(F.count("changed").cast("double"), F.lit(0.0)),
+            4,
+        ).alias("changeRatio"),
+    )
+
+
+ORACLE_CRAWL_CHANGE_RATE = _CAPTURES_CTE + """
+, seq AS (
+  SELECT host, pageUrl, contentHash,
+         lag(contentHash) OVER (
+           PARTITION BY pageUrl ORDER BY ts ASC
+         ) AS prevHash
+  FROM cap
+), flag AS (
+  SELECT host, pageUrl,
+         CASE WHEN prevHash IS NULL THEN NULL
+              WHEN contentHash != prevHash THEN 1 ELSE 0 END AS changed
+  FROM seq
+)
+SELECT host,
+       CAST(count(DISTINCT pageUrl) AS BIGINT) AS nPages,
+       CAST(count(*) AS BIGINT) AS nCaptures,
+       CAST(coalesce(sum(changed), 0) AS BIGINT) AS nChanges,
+       round(sum(changed) / nullif(CAST(count(changed) AS DOUBLE), 0.0), 4)
+         AS changeRatio
+FROM flag GROUP BY host
+"""
+
+
 # ------------------------------------------------- temporal KG
 
 # Mention timestamps follow the fixtures.reference_pages convention:
@@ -5472,6 +5592,10 @@ QUERIES = {
     "web_domain_components": (
         web_domain_components, ORACLE_WEB_DOMAIN_COMPONENTS,
     ),
+    "crawl_latest_capture": (
+        crawl_latest_capture, ORACLE_CRAWL_LATEST_CAPTURE,
+    ),
+    "crawl_change_rate": (crawl_change_rate, ORACLE_CRAWL_CHANGE_RATE),
     "dedup_wordset": (dedup_wordset, ORACLE_DEDUP_WORDSET),
     "quality_score": (quality_score, ORACLE_QUALITY_SCORE),
     "dedup_minhash_sig": (dedup_minhash_sig, ORACLE_DEDUP_MINHASH_SIG),

@@ -40,6 +40,8 @@ NONEMPTY = {
     "web_url_canonical",
     "web_anchor_aliases",
     "web_domain_components",
+    "crawl_latest_capture",
+    "crawl_change_rate",
     "web_crawl_waves",
     "kg_entity_timeline",
     "kg_entity_trend",
