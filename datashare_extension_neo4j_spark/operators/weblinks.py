@@ -96,13 +96,46 @@ def synth_link_pages(docs: DataFrame) -> DataFrame:
     )
 
 
+def _resolve_href(src: Column, href: Column) -> Column:
+    """Absolute URL for ``href`` against base ``src`` — the browser
+    resolution rules for the shapes that matter in a crawl:
+    absolute http(s) kept as-is; ``//host/...`` inherits the source
+    scheme; ``/path`` is host-relative; anything else is resolved
+    against the source URL's directory. Non-web schemes (mailto:,
+    javascript:, data:, ftp:, ...) and empty/fragment-only hrefs
+    resolve to NULL so callers can drop them."""
+    scheme = F.regexp_extract(src, "^(https?)://", 1)
+    origin = F.regexp_extract(src, "^(https?://[^/]+)", 1)
+    # source directory: strip query/fragment, give a bare origin its
+    # trailing slash, then drop the last path segment
+    clean = F.regexp_replace(src, "[?#].*", "")
+    with_slash = F.regexp_replace(clean, "^(https?://[^/]+)$", "$1/")
+    base_dir = F.regexp_replace(with_slash, "[^/]*$", "")
+    return (
+        F.when(href.rlike("^https?://"), href)
+        .when(href.rlike("^//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.rlike("^/"), F.concat(origin, href))
+        .when(
+            href.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"),
+            F.lit(None).cast("string"),  # non-web scheme
+        )
+        .when(
+            (href == "") | href.startswith("#"), F.lit(None).cast("string")
+        )
+        .otherwise(F.concat(base_dir, href))
+    )
+
+
 def extract_links(pages: DataFrame) -> DataFrame:
     """(srcUrl, dstUrl, anchorText) stream from page HTML bytes.
 
     Real extraction — anchors are pulled from the markup with
     regexp_extract_all, then href/text split per tag inside a
     ``transform`` lambda (still JVM expressions; one pass over the
-    bytes, no Python). One output row per anchor occurrence.
+    bytes, no Python). One output row per anchor occurrence. hrefs
+    are resolved to absolute URLs against the page URL (relative and
+    scheme-relative forms included); non-web schemes (mailto:,
+    javascript:, data:) and fragment-only anchors are dropped.
     """
     tags = F.regexp_extract_all(
         F.decode(F.col("html"), "utf-8"), F.lit(_ANCHOR_TAG_RE), 0
@@ -110,14 +143,19 @@ def extract_links(pages: DataFrame) -> DataFrame:
     pairs = F.transform(
         tags,
         lambda t: F.struct(
-            F.regexp_extract(t, 'href="([^"]*)"', 1).alias("dstUrl"),
+            F.regexp_extract(t, 'href="([^"]*)"', 1).alias("href"),
             F.regexp_extract(t, ">([^<]*)</a>", 1).alias("anchorText"),
         ),
     )
     return (
         pages.select(F.col("url").alias("srcUrl"), pairs.alias("_p"))
         .select("srcUrl", F.explode("_p").alias("l"))
-        .select("srcUrl", "l.dstUrl", "l.anchorText")
+        .select(
+            "srcUrl",
+            _resolve_href(F.col("srcUrl"), F.col("l.href")).alias("dstUrl"),
+            "l.anchorText",
+        )
+        .where(F.col("dstUrl").isNotNull())
     )
 
 

@@ -202,3 +202,36 @@ def test_pagerank_storage_bounded(spark):
         .toArray()
     }
     assert len(after - before) <= 1
+
+
+def test_extract_links_resolves_relative(spark):
+    html = (
+        '<a href="/abs/path">a</a>'
+        '<a href="rel.html">b</a>'
+        '<a href="//other.test/x">c</a>'
+        '<a href="https://full.test/y">d</a>'
+        '<a href="mailto:x@y.z">e</a>'
+        '<a href="javascript:void(0)">f</a>'
+        '<a href="#frag">g</a>'
+        '<a href="">h</a>'
+    )
+    pages = spark.createDataFrame(
+        [("https://src.example.org/dir/page.html?q=1", html.encode())],
+        "url string, html binary",
+    )
+    got = {(r.anchorText, r.dstUrl) for r in extract_links(pages).collect()}
+    assert got == {
+        ("a", "https://src.example.org/abs/path"),
+        ("b", "https://src.example.org/dir/rel.html"),
+        ("c", "https://other.test/x"),
+        ("d", "https://full.test/y"),
+    }
+
+
+def test_extract_links_relative_from_bare_origin(spark):
+    pages = spark.createDataFrame(
+        [("https://src.example.org", b'<a href="p.html">x</a>')],
+        "url string, html binary",
+    )
+    rows = extract_links(pages).collect()
+    assert rows[0].dstUrl == "https://src.example.org/p.html"
