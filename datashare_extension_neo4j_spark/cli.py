@@ -518,6 +518,41 @@ def cmd_weblinks(args) -> int:
     return 0
 
 
+def cmd_weblinks_init(args) -> int:
+    """Create the incremental host-graph ledger from an initial crawl
+    batch (sinks/webgraph.py)."""
+    from .operators.weblinks import extract_links, synth_link_pages
+    from .sinks.webgraph import init_webgraph_store
+
+    spark = _spark(args.master)
+    docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    if args.filter:
+        docs = docs.where(args.filter)
+    links = extract_links(synth_link_pages(docs))
+    n = init_webgraph_store(
+        spark, links, args.store, n_buckets=args.buckets
+    )
+    print(json.dumps({"ledger_rows": n, "store": args.store}))
+    return 0
+
+
+def cmd_weblinks_increment(args) -> int:
+    """MERGE one crawl batch's host-pair partials into the ledger —
+    partition-scoped, idempotent under retry of the same batch."""
+    from .operators.weblinks import extract_links, synth_link_pages
+    from .sinks.webgraph import merge_webgraph_batch, read_host_graph
+
+    spark = _spark(args.master)
+    docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    if args.filter:
+        docs = docs.where(args.filter)
+    links = extract_links(synth_link_pages(docs))
+    out = merge_webgraph_batch(spark, args.store, links, args.batch_id)
+    out["host_pairs_total"] = read_host_graph(spark, args.store).count()
+    print(json.dumps(out, sort_keys=True))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="datashare_extension_neo4j_spark")
     p.add_argument("--master", default=None)
@@ -652,6 +687,22 @@ def main(argv: list[str] | None = None) -> int:
     wl.add_argument("--out", required=True,
                     help="output dir for the five webgraph tables")
     wl.set_defaults(fn=cmd_weblinks)
+
+    wi = sub.add_parser("weblinks-init")
+    wi.add_argument("--sf-dir", required=True)
+    wi.add_argument("--store", required=True)
+    wi.add_argument("--filter", default=None,
+                    help="SQL predicate selecting the initial batch's docs")
+    wi.add_argument("--buckets", type=int, default=8)
+    wi.set_defaults(fn=cmd_weblinks_init)
+
+    wn = sub.add_parser("weblinks-increment")
+    wn.add_argument("--sf-dir", required=True)
+    wn.add_argument("--store", required=True)
+    wn.add_argument("--batch-id", required=True)
+    wn.add_argument("--filter", default=None,
+                    help="SQL predicate selecting this batch's docs")
+    wn.set_defaults(fn=cmd_weblinks_increment)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -220,3 +220,26 @@ def test_cli_weblinks_bundle(spark, tmp_path, capsys):
     al = spark.read.parquet(out + "/anchor_aliases").collect()
     # alias mining is non-degenerate: some target carries >1 surface
     assert any(row.nForms > 1 for row in al)
+
+
+def test_cli_weblinks_incremental_cycle(spark, tmp_path, capsys):
+    store = str(tmp_path / "ledger")
+    assert main(["weblinks-init", "--sf-dir", "/root/testdata/sf0.001",
+                 "--store", store, "--filter", "doc_id % 2 = 0"]) == 0
+    r0 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r0["ledger_rows"] > 0
+    assert main(["weblinks-increment", "--sf-dir", "/root/testdata/sf0.001",
+                 "--store", store, "--batch-id", "b1",
+                 "--filter", "doc_id % 2 = 1"]) == 0
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["partial_rows"] > 0 and r1["touched_buckets"] > 0
+    # ledger now equals the full-corpus host graph
+    from datashare_extension_neo4j_spark.operators.weblinks import (
+        extract_links, host_graph, synth_link_pages,
+    )
+    from datashare_extension_neo4j_spark.sinks.webgraph import read_host_graph
+    full = host_graph(extract_links(synth_link_pages(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )))
+    assert sorted(map(tuple, read_host_graph(spark, store).collect())) \
+        == sorted(map(tuple, full.collect()))
