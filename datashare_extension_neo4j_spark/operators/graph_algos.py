@@ -344,3 +344,81 @@ def pagerank_directed(
     _unpersist_rdd_ids(spark, ew_ids | node_ids)
     _register_long_lived(spark, rank_ids)
     return ranks.select("node", "rank")
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    digits: int = 6,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg) over the DIRECTED graph of
+    distinct ``edges``: authority(v) = Σ hub(in-neighbors),
+    hub(u) = Σ authority(out-neighbors), each L1-normalized per
+    half-step. The webgraph complement to PageRank — link SOURCES
+    score as hubs, link TARGETS as authorities (on a crawl host graph:
+    directories vs. content hosts).
+
+    Determinism discipline as the PageRank loops: every normalized
+    score AND the normalization scalars are rounded to ``digits`` per
+    half-step, so an unrolled-CTE SQL oracle replays the loop exactly.
+
+    Scale shape: two key-partitioned join+groupBy pairs per iteration
+    over the (host-scale) edge list, normalization scalars folded back
+    via 1-row crossJoin (no collect), per-round checkpoint rotation.
+    """
+    spark = edges.sparkSession
+    e, e_ids = _eager_checkpoint(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    )
+    nodes, node_ids = _eager_checkpoint(
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    state, state_ids = _eager_checkpoint(
+        nodes.select(
+            "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
+        )
+    )
+    for _ in range(iterations):
+        araw = (
+            state.select(F.col("node").alias("s"), "hub")
+            .join(e, "s")
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum("hub").alias("araw"))
+        )
+        a_n = nodes.join(araw, "node", "left").select(
+            "node", F.coalesce("araw", F.lit(0.0)).alias("araw")
+        )
+        asum = a_n.agg(
+            F.round(F.sum("araw"), digits).alias("asum")
+        )
+        a_norm = a_n.crossJoin(asum).select(
+            "node", F.round(F.col("araw") / F.col("asum"), digits).alias("authority")
+        )
+        hraw = (
+            a_norm.select(F.col("node").alias("d"), "authority")
+            .join(e, "d")
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum("authority").alias("hraw"))
+        )
+        h_n = nodes.join(hraw, "node", "left").select(
+            "node", F.coalesce("hraw", F.lit(0.0)).alias("hraw")
+        )
+        hsum = h_n.agg(F.round(F.sum("hraw"), digits).alias("hsum"))
+        state, new_ids = _eager_checkpoint(
+            h_n.crossJoin(hsum)
+            .select(
+                "node",
+                F.round(F.col("hraw") / F.col("hsum"), digits).alias("hub"),
+            )
+            .join(a_norm, "node")
+            .select("node", "hub", "authority")
+        )
+        _unpersist_rdd_ids(spark, state_ids)
+        state_ids = new_ids
+    _unpersist_rdd_ids(spark, e_ids | node_ids)
+    _register_long_lived(spark, state_ids)
+    return state

@@ -5289,6 +5289,82 @@ LEFT JOIN ig ON ig.host = h.host
 )
 
 
+def web_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the host link graph — the webgraph
+    complement to PageRank: link SOURCES score as hubs (directory
+    hosts), link TARGETS as authorities (content hosts). Fixed
+    iterations, L1 normalization per half-step, per-half-step rounding
+    so the unrolled-CTE oracle replays the loop exactly
+    (graph_algos.hits; per-round checkpoint release)."""
+    from .operators.graph_algos import hits
+    from .operators.weblinks import extract_links, host_graph
+
+    hg = host_graph(extract_links(_link_pages(spark, sf_dir))).select(
+        "srcHost", "dstHost"
+    )
+    st = hits(
+        hg,
+        src="srcHost",
+        dst="dstHost",
+        iterations=_PR_ITER,
+        digits=_PR_DIGITS,
+    )
+    return st.select(F.col("node").alias("host"), "hub", "authority")
+
+
+def _hits_oracle_sql() -> str:
+    # every CTE is MATERIALIZED: the chain references aa{i}/ar{i}
+    # twice per half-step, so DuckDB's default inlining would expand
+    # the plan (and the underlying parquet scans) exponentially in the
+    # iteration count — ~4^iterations scans blew the fd limit at 5
+    d = _PR_DIGITS
+    steps = []
+    for i in range(1, _PR_ITER + 1):
+        p = i - 1
+        steps.append(f"""ar{i} AS MATERIALIZED (
+  SELECT n.node, coalesce(x.araw, 0) AS araw
+  FROM nodes n LEFT JOIN (
+    SELECT e.d AS node, sum(h.hub) AS araw
+    FROM st{p} h JOIN e ON h.node = e.s GROUP BY e.d
+  ) x USING (node)
+), an{i} AS MATERIALIZED (
+  SELECT round(sum(araw), {d}) AS asum FROM ar{i}
+), aa{i} AS MATERIALIZED (
+  SELECT node, round(araw / asum, {d}) AS authority
+  FROM ar{i} CROSS JOIN an{i}
+), hr{i} AS MATERIALIZED (
+  SELECT n.node, coalesce(x.hraw, 0) AS hraw
+  FROM nodes n LEFT JOIN (
+    SELECT e.s AS node, sum(a.authority) AS hraw
+    FROM aa{i} a JOIN e ON a.node = e.d GROUP BY e.s
+  ) x USING (node)
+), hn{i} AS MATERIALIZED (
+  SELECT round(sum(hraw), {d}) AS hsum FROM hr{i}
+), st{i} AS MATERIALIZED (
+  SELECT h.node, round(h.hraw / hn{i}.hsum, {d}) AS hub, a.authority
+  FROM hr{i} h CROSS JOIN hn{i} JOIN aa{i} a ON a.node = h.node
+)""")
+    return (
+        _links_cte()
+        + """, e AS MATERIALIZED (
+  SELECT DISTINCT srcHost AS s, dstHost AS d FROM links
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT s AS node FROM e UNION ALL SELECT d FROM e
+  ) u
+), st0 AS MATERIALIZED (
+  SELECT node, CAST(1.0 AS DOUBLE) AS hub,
+         CAST(1.0 AS DOUBLE) AS authority
+  FROM nodes
+), """
+        + ",\n".join(steps)
+        + f"\nSELECT node AS host, hub, authority FROM st{_PR_ITER}"
+    )
+
+
+ORACLE_WEB_HOST_HITS = _hits_oracle_sql()
+
+
 # ------------------------------------------- crawl capture history
 
 # Web-archive (CDX-style) operations over repeated captures of the
@@ -5592,6 +5668,7 @@ QUERIES = {
     "web_domain_components": (
         web_domain_components, ORACLE_WEB_DOMAIN_COMPONENTS,
     ),
+    "web_host_hits": (web_host_hits, ORACLE_WEB_HOST_HITS),
     "crawl_latest_capture": (
         crawl_latest_capture, ORACLE_CRAWL_LATEST_CAPTURE,
     ),

@@ -37,6 +37,7 @@ NONEMPTY = {
     "web_link_edges",
     "web_host_graph",
     "web_host_pagerank",
+    "web_host_hits",
     "web_url_canonical",
     "web_anchor_aliases",
     "web_domain_components",

@@ -235,3 +235,17 @@ def test_extract_links_relative_from_bare_origin(spark):
     )
     rows = extract_links(pages).collect()
     assert rows[0].dstUrl == "https://src.example.org/p.html"
+
+
+def test_hits_hub_vs_authority(spark):
+    from datashare_extension_neo4j_spark.operators.graph_algos import hits
+
+    # star: a links to b, c, d — a is the pure hub, b/c/d equal
+    # authorities with zero hub score
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d")], "src string, dst string"
+    )
+    rows = {r.node: (r.hub, r.authority) for r in hits(edges).collect()}
+    assert rows["a"][0] == 1.0 and rows["a"][1] == 0.0
+    assert rows["b"] == rows["c"] == rows["d"]
+    assert abs(rows["b"][1] - 1 / 3) < 1e-5 and rows["b"][0] == 0.0
