@@ -5485,6 +5485,55 @@ FROM flag GROUP BY host
 """
 
 
+_CRAWL_TOTAL_BUDGET = 10_000  # fetches per recrawl cycle
+
+
+def web_crawl_budget(
+    spark: SparkSession, sf_dir: str, total: int = _CRAWL_TOTAL_BUDGET
+) -> DataFrame:
+    """Close the recrawl loop: allocate a global fetch budget across
+    hosts proportionally to observed change activity (Laplace-smoothed
+    — weight = nChanges + 1, so never-changing hosts keep a trickle).
+    Pure integer arithmetic (floor division) so the split is exact on
+    both engines; the weight total folds back via a 1-row crossJoin.
+    Composes crawl_change_rate — the scheduler consumable a fetcher
+    reads at cycle start."""
+    w = crawl_change_rate(spark, sf_dir).select(
+        "host", (F.col("nChanges") + F.lit(1)).alias("weight")
+    )
+    tot = w.agg(F.sum("weight").alias("wsum"))
+    return w.crossJoin(tot).select(
+        "host",
+        F.col("weight").cast("long").alias("weight"),
+        F.floor(F.lit(total) * F.col("weight") / F.col("wsum"))
+        .cast("long")
+        .alias("allocFetches"),
+    )
+
+
+ORACLE_WEB_CRAWL_BUDGET = _CAPTURES_CTE + f"""
+, seq AS (
+  SELECT host, pageUrl, contentHash,
+         lag(contentHash) OVER (
+           PARTITION BY pageUrl ORDER BY ts ASC
+         ) AS prevHash
+  FROM cap
+), chg AS (
+  SELECT host,
+         coalesce(sum(CASE WHEN prevHash IS NOT NULL
+                            AND contentHash != prevHash
+                           THEN 1 ELSE 0 END), 0) + 1 AS weight
+  FROM seq GROUP BY host
+), tot AS (
+  SELECT sum(weight) AS wsum FROM chg
+)
+SELECT host, CAST(weight AS BIGINT) AS weight,
+       CAST(floor({_CRAWL_TOTAL_BUDGET} * weight / wsum) AS BIGINT)
+         AS allocFetches
+FROM chg CROSS JOIN tot
+"""
+
+
 # ------------------------------------------------- temporal KG
 
 # Mention timestamps follow the fixtures.reference_pages convention:
@@ -5673,6 +5722,7 @@ QUERIES = {
         crawl_latest_capture, ORACLE_CRAWL_LATEST_CAPTURE,
     ),
     "crawl_change_rate": (crawl_change_rate, ORACLE_CRAWL_CHANGE_RATE),
+    "web_crawl_budget": (web_crawl_budget, ORACLE_WEB_CRAWL_BUDGET),
     "dedup_wordset": (dedup_wordset, ORACLE_DEDUP_WORDSET),
     "quality_score": (quality_score, ORACLE_QUALITY_SCORE),
     "dedup_minhash_sig": (dedup_minhash_sig, ORACLE_DEDUP_MINHASH_SIG),

@@ -43,6 +43,7 @@ NONEMPTY = {
     "web_domain_components",
     "crawl_latest_capture",
     "crawl_change_rate",
+    "web_crawl_budget",
     "web_crawl_waves",
     "kg_entity_timeline",
     "kg_entity_trend",

@@ -249,3 +249,35 @@ def test_hits_hub_vs_authority(spark):
     assert rows["a"][0] == 1.0 and rows["a"][1] == 0.0
     assert rows["b"] == rows["c"] == rows["d"]
     assert abs(rows["b"][1] - 1 / 3) < 1e-5 and rows["b"][0] == 0.0
+
+
+def test_extract_links_streaming_composable(spark, tmp_path):
+    """Link extraction is pure column expressions, so it composes
+    directly onto readStream — the continuous-crawl ingestion shape."""
+    from datashare_extension_neo4j_spark.operators.weblinks import (
+        extract_links as _el,
+        synth_link_pages as _sp,
+    )
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    _sp(docs.where("doc_id < 50")).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = (
+        _el(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    want = _el(_sp(docs.where("doc_id < 50")))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
