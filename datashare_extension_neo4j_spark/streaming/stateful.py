@@ -356,3 +356,73 @@ def use_rocksdb_state_store(spark, changelog: bool = True) -> None:
         "changelogCheckpointing.enabled",
         "true" if changelog else "false",
     )
+
+
+# ---------------------------------------------------- change detection
+
+CHANGE_OUTPUT = T.StructType(
+    [
+        T.StructField("pageUrl", T.StringType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("contentHash", T.StringType()),
+        T.StructField("changed", T.IntegerType()),
+    ]
+)
+_CHANGE_STATE = T.StructType(
+    [
+        T.StructField("lastHash", T.StringType()),
+        T.StructField("lastTs", T.LongType()),
+    ]
+)
+
+
+def _change_detect_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-page capture-change flags across micro-batches: a capture
+    is ``changed=1`` when its fingerprint differs from the previous
+    capture of the SAME page, ``0`` when identical, null on the very
+    first capture ever seen — exactly the batch ``lag`` semantics of
+    queries.crawl_change_rate, with the previous-capture fingerprint
+    held in keyed state instead of a window.
+
+    All of the batch's chunks are gathered and sorted by ts BEFORE
+    emitting (the _first_seen_fn cross-chunk discipline), so chunk
+    boundaries and task retry order never change the flags. Assumes
+    per-page captures arrive in non-decreasing ts order ACROSS batches
+    (crawl feeds are time-ordered per page); within a batch any order
+    is fine."""
+    rows = [pdf for pdf in pdfs if len(pdf)]
+    if not rows:
+        return
+    df = pd.concat(rows).sort_values("ts")
+    last_hash = state.get[0] if state.exists else None
+    out_changed = []
+    for h in df["contentHash"]:
+        out_changed.append(
+            None if last_hash is None else int(h != last_hash)
+        )
+        last_hash = h
+    state.update((last_hash, int(df["ts"].iloc[-1])))
+    yield pd.DataFrame(
+        {
+            "pageUrl": key[0],
+            "ts": df["ts"].to_numpy(),
+            "contentHash": df["contentHash"].to_numpy(),
+            "changed": pd.array(out_changed, dtype="Int32"),
+        }
+    )
+
+
+def change_detect_stream(stream: DataFrame) -> DataFrame:
+    """(pageUrl, ts, contentHash) capture stream → per-capture change
+    flags, continuous across micro-batches (state = one fingerprint
+    per page, O(distinct pages) in the state store — RocksDB at
+    production cardinality, see use_rocksdb_state_store)."""
+    return stream.groupBy("pageUrl").applyInPandasWithState(
+        _change_detect_fn,
+        outputStructType=CHANGE_OUTPUT,
+        stateStructType=_CHANGE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
