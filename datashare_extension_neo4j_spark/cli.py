@@ -451,9 +451,13 @@ def cmd_weblinks(args) -> int:
 
     Anchor extraction runs ONCE: downstream tables are derived from
     the link_edges parquet written first (at corpus scale the regexp
-    extraction pass dominates — never repeat it per output table)."""
+    extraction pass dominates — never repeat it per output table).
+    Every stage is manifest-guarded (manifest.py lineage + counters):
+    re-running the bundle over unchanged inputs skips completed
+    stages, so a failed run resumes from the first stale table."""
     from pyspark.sql import functions as F
 
+    from .manifest import Manifest
     from .operators.graph_algos import (
         pagerank_directed,
         release_long_lived_checkpoints,
@@ -467,22 +471,33 @@ def cmd_weblinks(args) -> int:
     from .queries import _link_pages
 
     spark = _spark(args.master)
+    man = Manifest(args.out)
+    docs_path = f"{args.sf_dir}/documents.parquet"
     counts = {}
 
-    def _write(name, df):
-        out = f"{args.out}/{name}"
-        df.write.mode("overwrite").parquet(out)
+    def stage(name, inputs, build):
+        out = man.run_stage(
+            name,
+            inputs,
+            f"{args.out}/{name}",
+            lambda p: build().write.mode("overwrite").parquet(p),
+        )
         got = spark.read.parquet(out)
         counts[name] = got.count()
-        return got
+        return got, out
 
-    links = _write(
-        "link_edges", extract_links(_link_pages(spark, args.sf_dir))
+    links, links_path = stage(
+        "link_edges",
+        [docs_path],
+        lambda: extract_links(_link_pages(spark, args.sf_dir)),
     )
-    hg = _write("host_graph", host_graph(links))
-    _write(
+    hg, hg_path = stage(
+        "host_graph", [links_path], lambda: host_graph(links)
+    )
+    stage(
         "host_pagerank",
-        pagerank_directed(
+        [hg_path],
+        lambda: pagerank_directed(
             hg, src="srcHost", dst="dstHost", weight="nLinks", digits=6
         ).select(F.col("node").alias("host"), F.col("rank").alias("pagerank")),
     )
@@ -491,16 +506,18 @@ def cmd_weblinks(args) -> int:
         url_host(F.col("srcUrl")).alias("srcHost"),
         "anchorText",
     )
-    _write(
+    stage(
         "url_canonical",
-        canon.groupBy("url").agg(
+        [links_path],
+        lambda: canon.groupBy("url").agg(
             F.count("*").cast("long").alias("nLinks"),
             F.countDistinct("srcHost").cast("long").alias("nSources"),
         ),
     )
-    _write(
+    stage(
         "anchor_aliases",
-        canon.groupBy("url").agg(
+        [links_path],
+        lambda: canon.groupBy("url").agg(
             F.array_join(
                 F.array_sort(F.collect_set("anchorText")), "|"
             ).alias("aliases"),

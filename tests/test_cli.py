@@ -243,3 +243,24 @@ def test_cli_weblinks_incremental_cycle(spark, tmp_path, capsys):
     )))
     assert sorted(map(tuple, read_host_graph(spark, store).collect())) \
         == sorted(map(tuple, full.collect()))
+
+
+def test_cli_weblinks_bundle_resumes(spark, tmp_path, capsys):
+    """Manifest-guarded bundle: a second run over unchanged inputs
+    skips every stage (completed_at timestamps unchanged)."""
+    out = str(tmp_path / "web")
+    assert main(["weblinks", "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", out]) == 0
+    capsys.readouterr()
+    m1 = json.loads((tmp_path / "web" / "manifest.json").read_text())
+    stamps1 = {s: e["completed_at"] for s, e in m1["stages"].items()}
+    assert set(stamps1) == {"link_edges", "host_graph", "host_pagerank",
+                            "url_canonical", "anchor_aliases"}
+    assert all(e["rows_out"] > 0 for e in m1["stages"].values())
+    assert main(["weblinks", "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", out]) == 0
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    m2 = json.loads((tmp_path / "web" / "manifest.json").read_text())
+    stamps2 = {s: e["completed_at"] for s, e in m2["stages"].items()}
+    assert stamps2 == stamps1  # nothing re-ran
+    assert r2["link_edges"] > 0  # counts still reported
