@@ -5534,6 +5534,78 @@ FROM chg CROSS JOIN tot
 """
 
 
+_AFFINITY_MIN_DOCS = 2  # keep (entity, host) pairs backed by ≥2 docs
+
+
+def kg_entity_host_affinity(
+    spark: SparkSession, sf_dir: str, min_docs: int = _AFFINITY_MIN_DOCS
+) -> DataFrame:
+    """KG × webgraph integration: which link targets does each
+    entity's document neighborhood point at? For every (entity,
+    dstHost) pair, the number of distinct documents that BOTH mention
+    the entity AND link to the host — the co-citation signal that
+    attaches web provenance to KG entities (entity→official-site
+    discovery, source attribution). Thresholded at ``min_docs`` to
+    drop one-off co-occurrences.
+
+    Scale shape: mention stream and link stream both key on the doc
+    id, so the join shuffles once on that key; the output aggregate is
+    (vocabulary × host)-scale. The per-doc streams are pre-deduped
+    (distinct entity-per-doc, distinct host-per-doc) BEFORE the join,
+    bounding the fan-out at mentions×links per doc."""
+    m = (
+        _mentions(spark, sf_dir)
+        .select(
+            "documentId",
+            F.concat(
+                F.col("mentionNorm"), F.lit("/"), F.col("category")
+            ).alias("entity"),
+        )
+        .distinct()
+    )
+    from .operators.weblinks import extract_links, url_host
+
+    links = (
+        extract_links(_link_pages(spark, sf_dir))
+        .select(
+            F.concat(
+                F.lit("doc-"),
+                F.regexp_extract(F.col("srcUrl"), "doc-([0-9]+)$", 1),
+            ).alias("documentId"),
+            url_host(F.col("dstUrl")).alias("dstHost"),
+        )
+        .distinct()
+    )
+    return (
+        m.join(links, "documentId")
+        .groupBy("entity", "dstHost")
+        .agg(F.countDistinct("documentId").cast("long").alias("nDocs"))
+        .where(F.col("nDocs") >= min_docs)
+    )
+
+
+ORACLE_KG_ENTITY_HOST_AFFINITY = (
+    _MENTIONS_CTE
+    + f""", lt AS (
+  {_links_cte()}
+  SELECT DISTINCT 'doc-' || regexp_extract(srcUrl, 'doc-([0-9]+)$', 1)
+           AS documentId,
+         dstHost
+  FROM links
+), me AS (
+  SELECT DISTINCT documentId,
+         mentionNorm || '/' || category AS entity
+  FROM m
+)
+SELECT me.entity, lt.dstHost,
+       CAST(count(DISTINCT me.documentId) AS BIGINT) AS nDocs
+FROM me JOIN lt USING (documentId)
+GROUP BY me.entity, lt.dstHost
+HAVING count(DISTINCT me.documentId) >= {_AFFINITY_MIN_DOCS}
+"""
+)
+
+
 # ------------------------------------------------- temporal KG
 
 # Mention timestamps follow the fixtures.reference_pages convention:
@@ -5723,6 +5795,9 @@ QUERIES = {
     ),
     "crawl_change_rate": (crawl_change_rate, ORACLE_CRAWL_CHANGE_RATE),
     "web_crawl_budget": (web_crawl_budget, ORACLE_WEB_CRAWL_BUDGET),
+    "kg_entity_host_affinity": (
+        kg_entity_host_affinity, ORACLE_KG_ENTITY_HOST_AFFINITY,
+    ),
     "dedup_wordset": (dedup_wordset, ORACLE_DEDUP_WORDSET),
     "quality_score": (quality_score, ORACLE_QUALITY_SCORE),
     "dedup_minhash_sig": (dedup_minhash_sig, ORACLE_DEDUP_MINHASH_SIG),

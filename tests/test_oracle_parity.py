@@ -44,6 +44,7 @@ NONEMPTY = {
     "crawl_latest_capture",
     "crawl_change_rate",
     "web_crawl_budget",
+    "kg_entity_host_affinity",
     "web_crawl_waves",
     "kg_entity_timeline",
     "kg_entity_trend",
