@@ -525,6 +525,33 @@ def cmd_weblinks(args) -> int:
             F.count("*").cast("long").alias("nLinks"),
         ),
     )
+    if getattr(args, "graphml", None):
+        # host graph through the reference-shaped GraphML dump sink
+        # (plans/dump.py — the same writer the KG dump uses): hosts as
+        # :Host nodes carrying their pagerank, links as :LINKS_TO
+        # edges carrying the aggregated counts
+        from .plans.dump import dump_graphml
+
+        pr = spark.read.parquet(f"{args.out}/host_pagerank")
+        hg2 = spark.read.parquet(f"{args.out}/host_graph")
+        nodes = pr.select(
+            F.col("host").alias("node_id"),
+            F.array(F.lit("Host")).alias("labels"),
+            F.create_map(
+                F.lit("pagerank"), F.col("pagerank").cast("string")
+            ).alias("props"),
+        )
+        edges = hg2.select(
+            F.col("srcHost").alias("src"),
+            F.col("dstHost").alias("dst"),
+            F.lit("LINKS_TO").alias("type"),
+            F.create_map(
+                F.lit("nLinks"), F.col("nLinks").cast("string"),
+                F.lit("nPages"), F.col("nPages").cast("string"),
+            ).alias("props"),
+        )
+        with open(args.graphml, "w") as fh:
+            counts["graphml_elements"] = dump_graphml(nodes, edges, fh)
     released = release_long_lived_checkpoints(spark)
     print(
         json.dumps(
@@ -703,6 +730,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="table directory holding documents.parquet")
     wl.add_argument("--out", required=True,
                     help="output dir for the five webgraph tables")
+    wl.add_argument("--graphml", default=None,
+                    help="also dump the host graph as GraphML here")
     wl.set_defaults(fn=cmd_weblinks)
 
     wi = sub.add_parser("weblinks-init")

@@ -264,3 +264,25 @@ def test_cli_weblinks_bundle_resumes(spark, tmp_path, capsys):
     stamps2 = {s: e["completed_at"] for s, e in m2["stages"].items()}
     assert stamps2 == stamps1  # nothing re-ran
     assert r2["link_edges"] > 0  # counts still reported
+
+
+def test_cli_weblinks_graphml_dump(spark, tmp_path, capsys):
+    """--graphml routes the host graph through the generic GraphML
+    dump sink: well-formed XML, Host nodes with pagerank, LINKS_TO
+    edges with counts."""
+    import xml.etree.ElementTree as ET
+
+    out = str(tmp_path / "web")
+    gml = str(tmp_path / "hosts.graphml")
+    assert main(["weblinks", "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", out, "--graphml", gml]) == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["graphml_elements"] == r["host_pagerank"] + r["host_graph"]
+    root = ET.parse(gml).getroot()
+    ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
+    nodes = root.findall(".//g:node", ns)
+    edges = root.findall(".//g:edge", ns)
+    assert len(nodes) == r["host_pagerank"]
+    assert len(edges) == r["host_graph"]
+    assert all(n.get("labels") == ":Host" for n in nodes)
+    assert all(e.get("label") == "LINKS_TO" for e in edges)
