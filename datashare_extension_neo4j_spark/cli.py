@@ -482,9 +482,10 @@ def cmd_weblinks(args) -> int:
             f"{args.out}/{name}",
             lambda p: build().write.mode("overwrite").parquet(p),
         )
-        got = spark.read.parquet(out)
-        counts[name] = got.count()
-        return got, out
+        # counts come from the manifest's footer-derived lineage —
+        # exact, and a resumed run never re-scans skipped tables
+        counts[name] = man.state["stages"][name]["rows_out"]
+        return spark.read.parquet(out), out
 
     links, links_path = stage(
         "link_edges",
@@ -494,7 +495,7 @@ def cmd_weblinks(args) -> int:
     hg, hg_path = stage(
         "host_graph", [links_path], lambda: host_graph(links)
     )
-    stage(
+    pr, _pr_path = stage(
         "host_pagerank",
         [hg_path],
         lambda: pagerank_directed(
@@ -532,8 +533,6 @@ def cmd_weblinks(args) -> int:
         # edges carrying the aggregated counts
         from .plans.dump import dump_graphml
 
-        pr = spark.read.parquet(f"{args.out}/host_pagerank")
-        hg2 = spark.read.parquet(f"{args.out}/host_graph")
         nodes = pr.select(
             F.col("host").alias("node_id"),
             F.array(F.lit("Host")).alias("labels"),
@@ -541,7 +540,7 @@ def cmd_weblinks(args) -> int:
                 F.lit("pagerank"), F.col("pagerank").cast("string")
             ).alias("props"),
         )
-        edges = hg2.select(
+        edges = hg.select(
             F.col("srcHost").alias("src"),
             F.col("dstHost").alias("dst"),
             F.lit("LINKS_TO").alias("type"),

@@ -27,7 +27,13 @@ def _input_fingerprint(path: str) -> dict:
     p = Path(path)
     if not p.exists():
         return {"path": path, "exists": False}
-    files = sorted(str(f) for f in p.rglob("*.parquet"))
+    if p.is_file():
+        # single-file input (e.g. a bare documents.parquet): rglob
+        # on a regular file yields nothing, which would make the
+        # fingerprint a constant and staleness undetectable
+        files = [str(p)]
+    else:
+        files = sorted(str(f) for f in p.rglob("*.parquet"))
     mtime = max((os.path.getmtime(f) for f in files), default=0)
     size = sum(os.path.getsize(f) for f in files)
     return {"path": path, "n_files": len(files), "bytes": size, "mtime": mtime}

@@ -286,3 +286,34 @@ def test_cli_weblinks_graphml_dump(spark, tmp_path, capsys):
     assert len(edges) == r["host_graph"]
     assert all(n.get("labels") == ":Host" for n in nodes)
     assert all(e.get("label") == "LINKS_TO" for e in edges)
+
+
+def test_cli_weblinks_bundle_detects_changed_corpus(spark, tmp_path, capsys):
+    """A regenerated (single-file) documents.parquet at the same path
+    must invalidate the manifest fingerprint: the bundle re-runs
+    instead of silently serving tables from the old corpus."""
+    import shutil
+    import time as _time
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet",
+        sf / "documents.parquet",
+    )
+    out = str(tmp_path / "web")
+    assert main(["weblinks", "--sf-dir", str(sf), "--out", out]) == 0
+    capsys.readouterr()
+    m1 = json.loads((tmp_path / "web" / "manifest.json").read_text())
+    t1 = m1["stages"]["link_edges"]["completed_at"]
+    # regenerate the corpus file (halved) at the same path
+    _time.sleep(1.1)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.where("doc_id < 250").toPandas().to_parquet(
+        sf / "documents.parquet"
+    )
+    assert main(["weblinks", "--sf-dir", str(sf), "--out", out]) == 0
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    m2 = json.loads((tmp_path / "web" / "manifest.json").read_text())
+    assert m2["stages"]["link_edges"]["completed_at"] > t1  # re-ran
+    assert 0 < r2["link_edges"] < 2958  # counts reflect the new corpus
