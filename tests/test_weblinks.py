@@ -281,3 +281,34 @@ def test_extract_links_streaming_composable(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_extract_links_unicode_and_hostile_hrefs(spark):
+    html = (
+        '<a href="https://bücher.test/päth?q=ü">ünïcode</a>'
+        '<a href="https://x.test/a b">space</a>'
+        '<a href="HTTPS://UPPER.TEST/P">upper-scheme</a>'
+        '<a href="https://y.test/%22quoted%22">pct</a>'
+    )
+    pages = spark.createDataFrame(
+        [("https://src.test/p", html.encode())],
+        "url string, html binary",
+    )
+    got = {r.anchorText: r.dstUrl for r in extract_links(pages).collect()}
+    assert got["ünïcode"] == "https://bücher.test/päth?q=ü"
+    assert got["space"] == "https://x.test/a b"
+    # "HTTPS://..." does not match ^https?:// (case-sensitive) but IS
+    # a scheme-shaped href, so it is dropped rather than treated as a
+    # relative path — no mangled base_dir join
+    assert "upper-scheme" not in got
+    assert got["pct"] == "https://y.test/%22quoted%22"
+
+
+def test_canonical_url_unicode_passthrough(spark):
+    got = (
+        spark.createDataFrame([Row(u="https://bücher.test/Päth/#f")])
+        .select(canonical_url(F.col("u")).alias("c"))
+        .first()
+        .c
+    )
+    assert got == "https://bücher.test/päth"
