@@ -1,0 +1,78 @@
+"""Shared MinHash-LSH column builders — ONE shingle/band derivation
+consumed by the batch queries (``queries.dedup_minhash_*``), the
+incremental store (``sinks/neardup.py`` via the streaming operator)
+and the streaming operator (``streaming/stateful.py``), so batch ↔
+stream band parity is structural, not test-enforced drift control.
+
+Every helper takes a BOUND column (an attribute produced by an
+enclosing projection), never an inline expression: Spark does not
+hoist loop-invariant subexpressions out of higher-order-function
+lambdas, so an inline ``split(text, ' ')`` passed here would be
+re-evaluated once per array position — O(tokens²) map-side work per
+document (the round-5 verdict's top finding). Callers bind the token
+array first (``.select(F.split("text", " ").alias("_tk"))``) and pass
+``F.col("_tk")``.
+
+All construction is in-row (array transforms + ``array_min``): zero
+shuffle, legal in append-mode streams, and the scale path at 100 TB —
+per-doc signature work never crosses documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+N_MINHASH = 8
+BAND_SIZE = 4
+assert N_MINHASH % BAND_SIZE == 0, "bands must tile the signature"
+N_BANDS = N_MINHASH // BAND_SIZE
+
+
+def bigram_shingles(tk: Column) -> Column:
+    """Distinct positional word-bigram shingles from a bound
+    token-array column (the raw single-space split with empties KEPT,
+    so bigram positions match the oracle's LATERAL generate_series
+    over the unfiltered split); pairs with an empty part are dropped
+    AFTER pairing — ``'a  b'`` yields no shingle, exactly like the
+    exploded implementation and the DuckDB oracle. ``array_distinct``
+    replaces the old explode→``.distinct()`` global shuffle: per-doc
+    distinctness makes (doc_id, shingle) globally distinct for free."""
+    raw = F.transform(
+        F.sequence(F.lit(0), F.size(tk) - 2),
+        lambda i: F.when(
+            (F.element_at(tk, i + 1) != "") & (F.element_at(tk, i + 2) != ""),
+            F.concat(F.element_at(tk, i + 1), F.lit(" "), F.element_at(tk, i + 2)),
+        ),
+    )
+    return F.when(
+        F.size(tk) >= 2,
+        F.array_distinct(F.filter(raw, lambda s: s.isNotNull())),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_mins(sh: Column, n_minhash: int = N_MINHASH) -> list[Column]:
+    """The k per-seed minimum md5 hashes over a bound shingle-array
+    column — one array pass per seed, all map-side. Min over the
+    in-row array equals min over the distinct shingle set, so callers
+    that only need signatures may pass a non-deduped array."""
+    # NB: the lambda must stay single-argument — a second (default)
+    # parameter flips pyspark's transform() into (element, index) mode
+    def _seed_min(seed: int) -> Column:
+        pref = F.lit(f"{seed}:")
+        return F.array_min(
+            F.transform(sh, lambda x: F.md5(F.concat(pref, x)))
+        )
+
+    return [_seed_min(s) for s in range(n_minhash)]
+
+
+def band_keys(mins: list[Column], band_size: int = BAND_SIZE) -> list[Column]:
+    """LSH band keys from the per-seed minimum columns: md5 over the
+    comma-joined r-slice — byte-identical to hashing the same slice of
+    the comma-joined signature string (md5 hex never contains ',')."""
+    n_bands = len(mins) // band_size
+    return [
+        F.md5(F.concat_ws(",", *mins[i * band_size : (i + 1) * band_size]))
+        for i in range(n_bands)
+    ]

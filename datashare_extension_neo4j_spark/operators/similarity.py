@@ -81,14 +81,29 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k: queries(qid, qv) × vectors, ranked by cosine."""
-    pairs = vectors.crossJoin(F.broadcast(queries)).where(
-        F.col(id_col) != F.col("qid")
+    """Exact top-k: queries(qid, qv) × vectors, ranked by cosine.
+
+    Squared norms are bound to columns BEFORE the cross join (r6):
+    inlining ``cosine()`` per pair re-ran dot(v,v) |queries| times per
+    vector and dot(q,q) |vectors| times per query — at dim d that was
+    ~2d wasted multiplies per pair. Same IEEE expression on the same
+    values afterward, so scores are bit-identical."""
+    v = vectors.select(
+        id_col, vec_col, dot(F.col(vec_col), F.col(vec_col)).alias("_n2")
+    )
+    q = queries.select(
+        "qid", "qv", dot(F.col("qv"), F.col("qv")).alias("_qn2")
+    )
+    pairs = v.crossJoin(F.broadcast(q)).where(F.col(id_col) != F.col("qid"))
+    cos = F.when(
+        (F.col("_qn2") > 0) & (F.col("_n2") > 0),
+        dot(F.col("qv"), F.col(vec_col))
+        / (F.sqrt(F.col("_qn2")) * F.sqrt(F.col("_n2"))),
     )
     scored = pairs.select(
         "qid",
         F.col(id_col).alias("nid"),
-        cosine(F.col("qv"), F.col(vec_col)).alias("cos"),
+        cos.alias("cos"),
     )
     return _rank_topk(scored, k)
 

@@ -65,6 +65,17 @@ def build_graph(
     emit_mentions: bool = True,
     checkpoint_dir: str | None = None,
 ) -> GraphBuild:
+    # scale-adaptive parse parallelism (r6): a small pages input (one
+    # parquet file → one scan split) would serialize the Python parse
+    # kernel on a single core; widen ONLY when the scan is narrower
+    # than the cluster. At real scale the input already carries >=
+    # defaultParallelism splits and this is a no-op — no constant
+    # tuned to either mode. Round-robin repartition is retry-safe
+    # (sortBeforeRepartition) and the pipeline's output is
+    # partitioning-independent (per-doc aggregation keys).
+    target = pages.sparkSession.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < target:
+        pages = pages.repartition(target)
     if fuse_ner:
         # scale path: NER fused into the parse pass (one scan over the
         # html) and the wide text column dropped from the exchange

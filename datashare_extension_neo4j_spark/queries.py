@@ -61,6 +61,24 @@ def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/customer.parquet")
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism guard (guide §2.5, input skew): a
+    small input (one parquet file → one scan split) serializes every
+    downstream map stage on a single core, which matters for the
+    hash-heavy kernels (8-seed MinHash md5, SimHash bit votes). Widen
+    with a round-robin repartition ONLY when the scan is narrower than
+    the cluster; at real scale the scan already carries >=
+    defaultParallelism splits and this is a structural no-op — nothing
+    is tuned to either mode. Round-robin is retry-safe
+    (sortBeforeRepartition) and every consumer's result is
+    partitioning-independent."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def _doc_id() -> F.Column:
     return F.concat(F.lit("doc-"), F.col("doc_id"))
 
@@ -88,17 +106,41 @@ def _gazetteer_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(GAZETTEER, "word string, category string")
 
 
-def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gazetteer mention stream: word tokens ⋈ (tiny, broadcast)
-    gazetteer; offsets are word positions (P2/P3 analog + §2.7 flatMap)."""
-    w = _words(_docs(spark, sf_dir))
-    g = F.broadcast(_gazetteer_df(spark))
-    return w.join(g, "word").select(
-        F.concat(_doc_id(), F.lit(":"), F.col("pos")).alias("mention_id"),
-        _doc_id().alias("documentId"),
-        F.col("category"),
-        F.col("word").alias("mentionNorm"),
-        F.col("pos").cast("long").alias("offset"),
+def _gazetteer_category() -> F.Column:
+    """word → category as a literal CASE/map lookup — the gazetteer is
+    a fixed 8-entry constant, so an inner join against it is exactly a
+    filter + projection. Replacing the broadcast join (r6) removes the
+    createDataFrame round-trip + BroadcastExchange from every consumer
+    (kg_mentions/kg_entities/kg_appears_in/kg_triples/…): the mention
+    stream becomes a pure scan-shaped plan. NULL where not in the
+    gazetteer (callers filter)."""
+    m = F.create_map(
+        *[F.lit(x) for word, cat in GAZETTEER for x in (word, cat)]
+    )
+    return F.element_at(m, F.col("word"))
+
+
+def _mentions(
+    spark: SparkSession, sf_dir: str, widen: bool = False
+) -> DataFrame:
+    """Gazetteer mention stream: word tokens filtered through the
+    literal gazetteer map; offsets are word positions (P2/P3 analog +
+    §2.7 flatMap). ``widen=True`` applies the scale-adaptive
+    parallelism guard for aggregation-heavy consumers (the token
+    explode + partial agg otherwise serializes on a narrow scan);
+    plain stream consumers (kg_mentions) stay scan-shaped."""
+    d = _docs(spark, sf_dir)
+    w = _words(_widen(d) if widen else d)
+    return (
+        w.withColumn("category", _gazetteer_category())
+        .where(F.col("category").isNotNull())
+        .select(
+            F.concat(_doc_id(), F.lit(":"), F.col("pos")).alias("mention_id"),
+            _doc_id().alias("documentId"),
+            F.col("category"),
+            F.col("word").alias("mentionNorm"),
+            F.col("pos").cast("long").alias("offset"),
+        )
     )
 
 
@@ -197,7 +239,7 @@ ORACLE_KG_MENTIONS = _MENTIONS_CTE + "SELECT * FROM m"
 def kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5+J4: entity dedup + sha256 tuple-repr ids + label composition
     (to_neo4j.py:196-217)."""
-    m = _mentions(spark, sf_dir)
+    m = _mentions(spark, sf_dir, widen=True)
     return (
         m.select("mentionNorm", "category")
         .dropDuplicates(["mentionNorm", "category"])
@@ -222,13 +264,15 @@ FROM (SELECT DISTINCT mentionNorm, category FROM m)
 def kg_appears_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2/A7: APPEARS_IN aggregation — sorted '|'-joined arrays,
     mentionCount (imports.py:751-773, to_neo4j.py:266-277)."""
-    m = _mentions(spark, sf_dir)
+    m = _mentions(spark, sf_dir, widen=True)
+    # mentionCount = |collect_set(mention_id)| instead of
+    # countDistinct: same value (the set IS the distinct ids), but a
+    # distinct aggregate alongside non-distinct aggs plans an Expand +
+    # second exchange — r6 drops it for a single hash-agg shuffle
     return (
         m.groupBy("mentionNorm", "category", "documentId")
         .agg(
-            F.array_join(
-                F.array_sort(F.collect_set("mention_id")), NEO4J_ARRAY_SPLIT_CHAR
-            ).alias("mentionIds"),
+            F.array_sort(F.collect_set("mention_id")).alias("_mids"),
             F.array_join(
                 F.transform(
                     F.array_sort(F.collect_set("offset")),
@@ -236,7 +280,6 @@ def kg_appears_in(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 NEO4J_ARRAY_SPLIT_CHAR,
             ).alias("offsets"),
-            F.countDistinct("mention_id").cast("long").alias("mentionCount"),
         )
         .select(
             entity_id(F.col("mentionNorm"), F.col("category")).alias("startId"),
@@ -244,9 +287,9 @@ def kg_appears_in(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("APPEARS_IN").alias("type"),
             "mentionNorm",
             "category",
-            "mentionIds",
+            F.array_join("_mids", NEO4J_ARRAY_SPLIT_CHAR).alias("mentionIds"),
             "offsets",
-            "mentionCount",
+            F.size("_mids").cast("long").alias("mentionCount"),
         )
     )
 
@@ -647,15 +690,22 @@ _N_BANDS = _N_MINHASH // _BAND_SIZE  # 2 bands of 4 at the defaults
 _MINHASH_MAX_BUCKET = 10_000  # hot-band cap, mirrored in the oracle
 
 
-def minhash_band_pairs(bands: DataFrame, max_bucket: int) -> DataFrame:
+def minhash_band_pairs(
+    bands: DataFrame, max_bucket: int, distinct_input: bool = False
+) -> DataFrame:
     """Distinct candidate doc pairs sharing a band bucket, with hot
-    buckets (> max_bucket members) excluded before the self-join."""
+    buckets (> max_bucket members) excluded before the self-join.
+
+    ``distinct_input=True`` asserts the caller already guarantees
+    (doc_id, band) distinctness (e.g. an in-row ``array_distinct`` over
+    the per-doc band array) and skips the dedup shuffle."""
     # dedup (doc, band) first: a doc whose band0 == band1 would both
     # double-count toward max_bucket (spurious exclusion near the cap)
     # and quadruple its duplicate pairs into the final distinct; the
     # dedup shuffles on the same band key the sizing agg and self-join
     # use, so it adds no new shuffle profile
-    bands = bands.select("doc_id", "band").distinct()
+    if not distinct_input:
+        bands = bands.select("doc_id", "band").distinct()
     sizes = bands.groupBy("band").agg(F.count("*").alias("_bsz"))
     capped = bands.join(
         sizes.where(F.col("_bsz") <= max_bucket), "band"
@@ -672,51 +722,69 @@ def minhash_band_pairs(bands: DataFrame, max_bucket: int) -> DataFrame:
     )
 
 
+def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh): the distinct word-bigram shingle ARRAY per doc
+    (the shingling step that makes MinHash discriminative — single
+    words are too coarse on a small vocabulary), built wholly in-row
+    by the shared builder (functions/minhash.py): the token array is
+    bound to a column first so the HOF lambdas index it instead of
+    re-splitting the text per position (the r5 O(tokens²) fix), and
+    per-doc ``array_distinct`` replaces the old explode→``.distinct()``
+    corpus-wide shuffle."""
+    from .functions.minhash import bigram_shingles
+
+    # docs without a single valid bigram are excluded HERE with a cheap
+    # text predicate that is exactly equivalent to size(sh) > 0: a doc
+    # has a bigram iff two adjacent tokens of the single-space split
+    # are non-empty iff the text contains nonspace·space·nonspace.
+    # Filtering on size(sh) > 0 downstream instead lets predicate
+    # pushdown inline the WHOLE shingle expression below the widen
+    # exchange — where the lambda-substituted split(text) re-evaluates
+    # per array element: the exact O(tokens²) this round removes.
+    d = (
+        _widen(
+            _docs(spark, sf_dir).where(F.col("text").rlike("[^ ] [^ ]"))
+        )
+        .select("doc_id", F.split(F.col("text"), " ").alias("_tk"))
+    )
+    return d.select("doc_id", bigram_shingles(F.col("_tk")).alias("sh"))
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word-bigram shingles per doc (the shingling step that
-    makes MinHash discriminative — single words are too coarse on a
-    small vocabulary). Built as an array transform: one pass over the
-    token array, no self-join shuffle."""
-    d = _docs(spark, sf_dir)
-    tk = F.split(F.col("text"), " ")
-    sh = F.when(
-        F.size(tk) >= 2,
-        F.expr(
-            "filter(transform(sequence(0, size(split(text,' ')) - 2), "
-            "i -> concat(split(text,' ')[i], ' ', split(text,' ')[i+1])), "
-            "s -> s != ' ' and not s like '% ' and not s like ' %')"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
-        d.select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
+    """Exploded (doc_id, shingle) stream — globally distinct with NO
+    shuffle, because shingles are distinct within each doc's array and
+    doc_id differs across rows."""
+    return _shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("shingle")
     )
 
 
-def _sig_with_bands(w: DataFrame) -> DataFrame:
-    """(doc_id, word) → (doc_id, sig, band0..band{_N_BANDS-1}): all k
-    minhashes in ONE aggregation pass — map-side partial min per seed,
-    no seed explosion, 1 shuffle of k small columns. Band columns are
-    derived from the constants, so retuning _N_MINHASH/_BAND_SIZE
-    regenerates every band (no silently-dropped bands, no concat_ws
-    swallowing null parts)."""
-    per_doc = w.groupBy("doc_id").agg(
-        F.concat_ws(
-            ",",
-            *[
-                F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("word"))))
-                for s in range(_N_MINHASH)
-            ],
-        ).alias("sig")
-    )
-    parts = F.split(F.col("sig"), ",")
-    band = lambda i: F.md5(  # noqa: E731
-        F.concat_ws(",", *[parts.getItem(j) for j in range(i * _BAND_SIZE, (i + 1) * _BAND_SIZE)])
-    )
-    return per_doc.select(
+def _sig_bands_arrays(arrays: DataFrame) -> DataFrame:
+    """(doc_id, sh) → (doc_id, sig, band0..band{_N_BANDS-1}) computed
+    ENTIRELY in-row via the shared builders — zero Exchange (the r4
+    groupBy version shuffled k columns per doc; this version shuffles
+    nothing). The per-seed minimums are bound to columns before sig
+    and band derivation so each of the k array passes runs once.
+
+    Input contract: every ``arrays`` row has non-empty ``sh``
+    (``_shingle_arrays`` guarantees it via its cheap text predicate) —
+    a ``size(sh) > 0`` filter here would be pushdown-inlined below the
+    widen exchange as the full shingle expression, resurrecting the
+    O(tokens²) split-in-lambda this round removes."""
+    from .functions.minhash import band_keys, minhash_mins
+
+    staged = arrays.select(
         "doc_id",
-        "sig",
-        *[band(i).alias(f"band{i}") for i in range(_N_BANDS)],
+        *[
+            m.alias(f"_m{s}")
+            for s, m in enumerate(minhash_mins(F.col("sh")))
+        ],
+    )
+    mins = [F.col(f"_m{s}") for s in range(_N_MINHASH)]
+    return staged.select(
+        "doc_id",
+        F.concat_ws(",", *mins).alias("sig"),
+        *[b.alias(f"band{i}") for i, b in enumerate(band_keys(mins))],
     )
 
 
@@ -724,10 +792,9 @@ def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=8, md5-based — engine-portable and fully
     deterministic) + LSH band keys (b=2, r=4). The banding step of
     shingle→minhash→band→bucket-join dedup; bucket-join pairs in
-    dedup_minhash_pairs."""
-    return _sig_with_bands(
-        _shingles(spark, sf_dir).withColumnRenamed("shingle", "word")
-    )
+    dedup_minhash_pairs. A pure scan+project plan since r6 (was
+    explode→distinct→groupBy: 2 Exchanges)."""
+    return _sig_bands_arrays(_shingle_arrays(spark, sf_dir))
 
 
 _SHINGLES_SQL = """
@@ -783,50 +850,71 @@ def dedup_minhash_pairs(
     ``persist_shingles=True`` caches a frame the CALLER must release
     (``spark.catalog.clearCache()`` or keep a handle) — the flag is
     for one-shot jobs over remote storage, not long-lived drivers."""
-    # the shingle stream feeds BOTH the signature pass and the exact
-    # verification. persist_shingles=True caches it instead of
-    # exploding the corpus twice — worth it when the recompute (here a
-    # cheap split over local parquet) is expensive, e.g. remote storage
-    # at real scale; measured NEGATIVE at bench scale (5.9s → 10.2s:
-    # the materialization serializes what AQE otherwise pipelines), so
-    # recompute is the default.
-    w = _shingles(spark, sf_dir).withColumnRenamed("shingle", "word")
+    # r6 shape: shingle sets stay per-doc ARRAYS end to end. Signatures
+    # and bands are in-row (zero shuffle); candidate generation shuffles
+    # only (doc_id, band) rows; verification attaches the two docs'
+    # xxhash64'd shingle arrays to each candidate pair (8-byte elements
+    # instead of ~20-byte shingle strings — the decontaminate_ngram key
+    # discipline, r5 verdict ask #3) and computes |A∩B| with an in-row
+    # array_intersect — replacing the old exploded two-sided
+    # (doc, word)-string join + count groupBy (4 corpus-sized string
+    # shuffles → at most 2 hashed-array attach joins, which AQE
+    # broadcasts when the candidate set is small).
+    arrays = _shingle_arrays(spark, sf_dir)
     if persist_shingles:
-        w = w.persist()
-    sig = _sig_with_bands(w)
+        arrays = arrays.persist()
+    sig = _sig_bands_arrays(arrays)
+    # in-row array_distinct: a doc whose band0 == band1 emits one row,
+    # so (doc_id, band) is globally distinct with no dedup shuffle
     bands = sig.select(
         "doc_id",
         F.explode(
-            F.array(*[f"band{i}" for i in range(_N_BANDS)])
+            F.array_distinct(F.array(*[f"band{i}" for i in range(_N_BANDS)]))
         ).alias("band"),
     )
-    cand = minhash_band_pairs(bands, max_bucket)
-    sizes = w.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    inter = (
-        cand.join(w.alias("wa"), F.col("docA") == F.col("wa.doc_id"))
-        .join(
-            w.alias("wb"),
-            (F.col("docB") == F.col("wb.doc_id"))
-            & (F.col("wa.word") == F.col("wb.word")),
-        )
-        .groupBy("docA", "docB")
-        .agg(F.count("*").alias("inter"))
+    cand = minhash_band_pairs(bands, max_bucket, distinct_input=True)
+    pv = arrays.select(
+        "doc_id",
+        F.size("sh").alias("sz"),
+        F.transform(F.col("sh"), lambda x: F.xxhash64(x)).alias("shh"),
     )
-    out = (
-        inter.join(sizes.alias("sa"), F.col("docA") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("docB") == F.col("sb.doc_id"))
+    j = (
+        cand.join(
+            pv.select(
+                F.col("doc_id").alias("docA"),
+                F.col("sz").alias("szA"),
+                F.col("shh").alias("shhA"),
+            ),
+            "docA",
+        )
+        .join(
+            pv.select(
+                F.col("doc_id").alias("docB"),
+                F.col("sz").alias("szB"),
+                F.col("shh").alias("shhB"),
+            ),
+            "docB",
+        )
+        # bind |A∩B| to a column so the jaccard expression's two
+        # references don't each re-run the intersection
         .select(
             "docA",
             "docB",
+            "szA",
+            "szB",
+            F.size(F.array_intersect("shhA", "shhB")).alias("_i"),
+        )
+    )
+    return (
+        j.select(
+            "docA",
+            "docB",
             F.round(
-                F.col("inter")
-                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")),
-                6,
+                F.col("_i") / (F.col("szA") + F.col("szB") - F.col("_i")), 6
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= 0.5)
     )
-    return out
 
 
 ORACLE_DEDUP_MINHASH_PAIRS = f"""
@@ -1020,8 +1108,15 @@ def _ngram_shingles(docs: DataFrame, n: int) -> DataFrame:
     and the broadcast eval set would balloon; the hashes keep it at
     8 bytes/shingle regardless of n. One array transform per doc —
     no self-join shuffle. (For n=2 the underlying shingle strings are
-    identical to ``_shingles``.)"""
-    tk = F.split(F.col("text"), " ")
+    identical to ``_shingles``.)
+
+    r6: the token array is bound to a column first (the inline
+    ``slice(split(text), …)`` re-split the text per gram position —
+    the r5 O(tokens²) finding), and per-doc ``array_distinct`` over
+    the hashed grams replaces the global ``.distinct()`` shuffle
+    ((doc_id, hash) is globally distinct once distinct per doc)."""
+    t = _widen(docs).select("doc_id", F.split(F.col("text"), " ").alias("_tk"))
+    tk = F.col("_tk")
     grams = F.when(
         F.size(tk) >= n,
         F.filter(
@@ -1032,16 +1127,10 @@ def _ngram_shingles(docs: DataFrame, n: int) -> DataFrame:
             lambda arr: ~F.exists(arr, lambda w: w == ""),
         ),
     ).otherwise(F.array().cast("array<array<string>>"))
-    return (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.transform(grams, lambda arr: F.array_join(arr, " "))
-            ).alias("shingle"),
-        )
-        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
-        .distinct()
+    hashed = F.array_distinct(
+        F.transform(grams, lambda arr: F.xxhash64(F.array_join(arr, " ")))
     )
+    return t.select("doc_id", F.explode(hashed).alias("shingle"))
 
 
 def decontaminate_ngram(
@@ -1069,13 +1158,17 @@ def decontaminate_ngram(
         sh.where(F.col("doc_id") % _EVAL_MOD == 0).select("shingle").distinct()
     )
     corpus = sh.where(F.col("doc_id") % _EVAL_MOD != 0)
+    # (doc_id, shingle) is distinct by construction (_ngram_shingles
+    # dedups per doc in-row), so count(*) == count(DISTINCT shingle) —
+    # dropping countDistinct removes the Expand + extra exchange of a
+    # distinct aggregate (r6)
     per_doc = corpus.groupBy("doc_id").agg(
-        F.countDistinct("shingle").cast("long").alias("nShingles")
+        F.count("*").cast("long").alias("nShingles")
     )
     hits = (
         corpus.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")
-        .agg(F.countDistinct("shingle").cast("long").alias("nContamShingles"))
+        .agg(F.count("*").cast("long").alias("nContamShingles"))
     )
     d = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") % _EVAL_MOD != 0)
     n_contam = F.coalesce(F.col("nContamShingles"), F.lit(0).cast("long"))
@@ -2596,10 +2689,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffle-FREE: the distinct word-hash set never crosses documents,
     so it's an in-row ``array_distinct`` over the token array and each
     bit-vote an ``aggregate`` over that array — a pure scan+project
-    plan with zero Exchange (the round-1 crossJoin version shuffled the
-    word stream 16×; the round-2 groupBy version still shuffled it
-    twice)."""
-    d = _docs(spark, sf_dir)
+    plan with zero semantic Exchange (the round-1 crossJoin version
+    shuffled the word stream 16×; the round-2 groupBy version still
+    shuffled it twice). The r6 ``_widen`` guard adds one round-robin
+    exchange ONLY when the scan is narrower than the cluster (the
+    md5-per-token vote kernel otherwise runs on one core locally)."""
+    d = _widen(_docs(spark, sf_dir))
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
     # materialize the hash array ONCE per row: lambda expressions are
     # not common-subexpression-eliminated across the 16 votes, so
@@ -3302,10 +3397,12 @@ def _cosine(a: F.Column, b: F.Column) -> F.Column:
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors vec_id < 10 — the
     shared cosine_topk operator (broadcast query side, exact scores,
-    per-query rank window), scores rounded to 6dp for hash parity."""
+    per-query rank window), scores rounded to 6dp for hash parity.
+    The vectors side is widened (scale-adaptive) so the per-pair dot
+    products don't serialize on a single narrow scan split."""
     from .operators.similarity import cosine_topk
 
-    e = _emb(spark, sf_dir)
+    e = _widen(_emb(spark, sf_dir))
     q = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
@@ -5624,11 +5721,14 @@ def _doc_ts() -> F.Column:
 
 def _timed_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _words(_docs(spark, sf_dir))
-    g = F.broadcast(_gazetteer_df(spark))
-    return w.join(g, "word").select(
-        F.concat("word", F.lit("/"), "category").alias("entity"),
-        "doc_id",
-        _doc_ts().alias("ts"),
+    return (
+        w.withColumn("category", _gazetteer_category())
+        .where(F.col("category").isNotNull())
+        .select(
+            F.concat("word", F.lit("/"), "category").alias("entity"),
+            "doc_id",
+            _doc_ts().alias("ts"),
+        )
     )
 
 

@@ -165,46 +165,44 @@ def streaming_band_keys(
     equals min over the distinct set — asserted by
     `test_streaming_bands_match_batch`. Docs with no shingles are
     passed over (the batch path drops them too — they can never
-    pair)."""
+    pair).
+
+    Since r6 the shingle/sig/band columns come from the SAME builders
+    the batch path uses (functions/minhash.py) — parity is structural.
+    The token array and the per-seed minimums are each bound to
+    columns before the dependent lambdas so nothing loop-invariant is
+    re-evaluated per array position (the r5 O(tokens²) finding applied
+    here too: the old inline ``slice(split(text), …)`` re-split the
+    text per bigram position)."""
     from pyspark.sql import functions as F
 
-    tk = F.split(F.col("text"), " ")
-    sh = F.when(
-        F.size(tk) >= 2,
-        F.filter(
-            F.transform(
-                F.sequence(F.lit(0), F.size(tk) - 2),
-                lambda i: F.slice(tk, i + 1, 2),
-            ),
-            lambda arr: ~F.exists(arr, lambda w: w == ""),
-        ),
-    ).otherwise(F.array().cast("array<array<string>>"))
-    shingles = F.transform(sh, lambda arr: F.array_join(arr, " "))
-    with_sh = docs.select(
-        "doc_id", "ts", shingles.alias("_sh")
-    ).where(F.size("_sh") > 0)
+    from ..functions.minhash import band_keys, bigram_shingles, minhash_mins
 
-    def sig(s: int):
-        return F.array_min(
-            F.transform(
-                F.col("_sh"), lambda x: F.md5(F.concat(F.lit(f"{s}:"), x))
-            )
-        )
-
-    def band(i: int):
-        return F.md5(
-            F.concat_ws(
-                ",", *[sig(j) for j in range(i * band_size, (i + 1) * band_size)]
-            )
-        )
-
-    n_bands = n_minhash // band_size
-    return with_sh.select(
+    # cheap text predicate ≡ "has ≥ 1 valid bigram" (nonspace·space·
+    # nonspace): filtering on size(_sh) > 0 instead would be pushdown-
+    # inlined into the source scan as the full shingle expression,
+    # whose lambda-substituted split re-evaluates per element
+    toks = docs.where(F.col("text").rlike("[^ ] [^ ]")).select(
+        "doc_id", "ts", F.split(F.col("text"), " ").alias("_tk")
+    )
+    with_sh = toks.select(
+        "doc_id", "ts", bigram_shingles(F.col("_tk")).alias("_sh")
+    )
+    staged = with_sh.select(
         "doc_id",
         "ts",
-        F.explode(
-            F.array_distinct(F.array(*[band(i) for i in range(n_bands)]))
-        ).alias("band"),
+        *[
+            m.alias(f"_m{s}")
+            for s, m in enumerate(minhash_mins(F.col("_sh"), n_minhash))
+        ],
+    )
+    bands = band_keys(
+        [F.col(f"_m{s}") for s in range(n_minhash)], band_size
+    )
+    return staged.select(
+        "doc_id",
+        "ts",
+        F.explode(F.array_distinct(F.array(*bands))).alias("band"),
     )
 
 
