@@ -4,14 +4,19 @@ incremental store (``sinks/neardup.py`` via the streaming operator)
 and the streaming operator (``streaming/stateful.py``), so batch ↔
 stream band parity is structural, not test-enforced drift control.
 
-Every helper takes a BOUND column (an attribute produced by an
-enclosing projection), never an inline expression: Spark does not
-hoist loop-invariant subexpressions out of higher-order-function
-lambdas, so an inline ``split(text, ' ')`` passed here would be
+Every helper takes the NAME of a BOUND column (an attribute produced
+by an enclosing projection, never an inline expression): Spark does
+not hoist loop-invariant subexpressions out of higher-order-function
+lambdas, so an inline ``split(text, ' ')`` substituted here would be
 re-evaluated once per array position — O(tokens²) map-side work per
 document (the round-5 verdict's top finding). Callers bind the token
 array first (``.select(F.split("text", " ").alias("_tk"))``) and pass
-``F.col("_tk")``.
+``"_tk"``.
+
+The builders emit single ``F.expr`` trees (one py4j round trip each)
+rather than nested Column-API lambdas: the Column route costs
+hundreds of gateway calls per query construction — measured ~1.5 s of
+driver wall on the minhash family's cold path.
 
 All construction is in-row (array transforms + ``array_min``): zero
 shuffle, legal in append-mode streams, and the scale path at 100 TB —
@@ -29,7 +34,7 @@ assert N_MINHASH % BAND_SIZE == 0, "bands must tile the signature"
 N_BANDS = N_MINHASH // BAND_SIZE
 
 
-def bigram_shingles(tk: Column) -> Column:
+def bigram_shingles(tk: str) -> Column:
     """Distinct positional word-bigram shingles from a bound
     token-array column (the raw single-space split with empties KEPT,
     so bigram positions match the oracle's LATERAL generate_series
@@ -38,33 +43,26 @@ def bigram_shingles(tk: Column) -> Column:
     exploded implementation and the DuckDB oracle. ``array_distinct``
     replaces the old explode→``.distinct()`` global shuffle: per-doc
     distinctness makes (doc_id, shingle) globally distinct for free."""
-    raw = F.transform(
-        F.sequence(F.lit(0), F.size(tk) - 2),
-        lambda i: F.when(
-            (F.element_at(tk, i + 1) != "") & (F.element_at(tk, i + 2) != ""),
-            F.concat(F.element_at(tk, i + 1), F.lit(" "), F.element_at(tk, i + 2)),
-        ),
+    return F.expr(
+        f"CASE WHEN size({tk}) >= 2 THEN "
+        f"array_distinct(filter(transform(sequence(0, size({tk}) - 2), "
+        f"i -> CASE WHEN element_at({tk}, i + 1) != '' "
+        f"AND element_at({tk}, i + 2) != '' "
+        f"THEN concat(element_at({tk}, i + 1), ' ', element_at({tk}, i + 2)) "
+        f"END), s -> s IS NOT NULL)) "
+        f"ELSE cast(array() as array<string>) END"
     )
-    return F.when(
-        F.size(tk) >= 2,
-        F.array_distinct(F.filter(raw, lambda s: s.isNotNull())),
-    ).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_mins(sh: Column, n_minhash: int = N_MINHASH) -> list[Column]:
+def minhash_mins(sh: str, n_minhash: int = N_MINHASH) -> list[Column]:
     """The k per-seed minimum md5 hashes over a bound shingle-array
     column — one array pass per seed, all map-side. Min over the
     in-row array equals min over the distinct shingle set, so callers
     that only need signatures may pass a non-deduped array."""
-    # NB: the lambda must stay single-argument — a second (default)
-    # parameter flips pyspark's transform() into (element, index) mode
-    def _seed_min(seed: int) -> Column:
-        pref = F.lit(f"{seed}:")
-        return F.array_min(
-            F.transform(sh, lambda x: F.md5(F.concat(pref, x)))
-        )
-
-    return [_seed_min(s) for s in range(n_minhash)]
+    return [
+        F.expr(f"array_min(transform({sh}, x -> md5(concat('{s}:', x))))")
+        for s in range(n_minhash)
+    ]
 
 
 def band_keys(mins: list[Column], band_size: int = BAND_SIZE) -> list[Column]:

@@ -699,6 +699,8 @@ def minhash_band_pairs(
     ``distinct_input=True`` asserts the caller already guarantees
     (doc_id, band) distinctness (e.g. an in-row ``array_distinct`` over
     the per-doc band array) and skips the dedup shuffle."""
+    from pyspark.sql import Window as W
+
     # dedup (doc, band) first: a doc whose band0 == band1 would both
     # double-count toward max_bucket (spurious exclusion near the cap)
     # and quadruple its duplicate pairs into the final distinct; the
@@ -706,10 +708,16 @@ def minhash_band_pairs(
     # use, so it adds no new shuffle profile
     if not distinct_input:
         bands = bands.select("doc_id", "band").distinct()
-    sizes = bands.groupBy("band").agg(F.count("*").alias("_bsz"))
-    capped = bands.join(
-        sizes.where(F.col("_bsz") <= max_bucket), "band"
-    ).select("doc_id", "band")
+    # bucket sizing as a window over the band partitioning (r6): the
+    # old groupBy-sizes + join pair re-shuffled the band stream AND
+    # added a join stage; the window computes the count on the same
+    # single band exchange, and the self-join's two sides share that
+    # exchange (identical canonical subtree → runtime exchange reuse)
+    capped = (
+        bands.withColumn("_bsz", F.count("*").over(W.partitionBy("band")))
+        .where(F.col("_bsz") <= max_bucket)
+        .select("doc_id", "band")
+    )
     a, b = capped.alias("a"), capped.alias("b")
     return (
         a.join(
@@ -747,7 +755,7 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.split(F.col("text"), " ").alias("_tk"))
     )
-    return d.select("doc_id", bigram_shingles(F.col("_tk")).alias("sh"))
+    return d.select("doc_id", bigram_shingles("_tk").alias("sh"))
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -777,7 +785,7 @@ def _sig_bands_arrays(arrays: DataFrame) -> DataFrame:
         "doc_id",
         *[
             m.alias(f"_m{s}")
-            for s, m in enumerate(minhash_mins(F.col("sh")))
+            for s, m in enumerate(minhash_mins("sh"))
         ],
     )
     mins = [F.col(f"_m{s}") for s in range(_N_MINHASH)]
@@ -860,24 +868,50 @@ def dedup_minhash_pairs(
     # (doc, word)-string join + count groupBy (4 corpus-sized string
     # shuffles → at most 2 hashed-array attach joins, which AQE
     # broadcasts when the candidate set is small).
+    from .functions.minhash import band_keys, minhash_mins
+
     arrays = _shingle_arrays(spark, sf_dir)
     if persist_shingles:
         arrays = arrays.persist()
-    sig = _sig_bands_arrays(arrays)
+    # ONE corpus pass computes everything per doc (size, hashed shingle
+    # set, band keys), then a doc_id repartition materializes it: the
+    # three consumers (band explode, A-side attach, B-side attach) all
+    # read the SAME exchange output (ReusedExchange) instead of each
+    # re-scanning the text and re-running the shingle+hash kernels —
+    # 3 corpus passes → 1 pass + one hashed-proxy shuffle (~1% of text
+    # bytes), the guide-§8 "move heavy bytes once, decide on proxies"
+    # shape. Partition count comes from spark.sql.shuffle.partitions
+    # (conf-scaled, AQE-coalesced), not a local constant.
+    staged = arrays.select(
+        "doc_id",
+        F.size("sh").alias("sz"),
+        F.transform(F.col("sh"), lambda x: F.xxhash64(x)).alias("shh"),
+        *[
+            m.alias(f"_m{s}")
+            for s, m in enumerate(minhash_mins("sh"))
+        ],
+    )
+    per = staged.select(
+        "doc_id",
+        "sz",
+        "shh",
+        *[
+            b.alias(f"band{i}")
+            for i, b in enumerate(
+                band_keys([F.col(f"_m{s}") for s in range(_N_MINHASH)])
+            )
+        ],
+    ).repartition("doc_id")
     # in-row array_distinct: a doc whose band0 == band1 emits one row,
     # so (doc_id, band) is globally distinct with no dedup shuffle
-    bands = sig.select(
+    bands = per.select(
         "doc_id",
         F.explode(
             F.array_distinct(F.array(*[f"band{i}" for i in range(_N_BANDS)]))
         ).alias("band"),
     )
     cand = minhash_band_pairs(bands, max_bucket, distinct_input=True)
-    pv = arrays.select(
-        "doc_id",
-        F.size("sh").alias("sz"),
-        F.transform(F.col("sh"), lambda x: F.xxhash64(x)).alias("shh"),
-    )
+    pv = per.select("doc_id", "sz", "shh")
     j = (
         cand.join(
             pv.select(

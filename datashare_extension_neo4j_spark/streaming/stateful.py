@@ -186,14 +186,14 @@ def streaming_band_keys(
         "doc_id", "ts", F.split(F.col("text"), " ").alias("_tk")
     )
     with_sh = toks.select(
-        "doc_id", "ts", bigram_shingles(F.col("_tk")).alias("_sh")
+        "doc_id", "ts", bigram_shingles("_tk").alias("_sh")
     )
     staged = with_sh.select(
         "doc_id",
         "ts",
         *[
             m.alias(f"_m{s}")
-            for s, m in enumerate(minhash_mins(F.col("_sh"), n_minhash))
+            for s, m in enumerate(minhash_mins("_sh", n_minhash))
         ],
     )
     bands = band_keys(
