@@ -2727,27 +2727,43 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled the word stream 16×; the round-2 groupBy version still
     shuffled it twice). The r6 ``_widen`` guard adds one round-robin
     exchange ONLY when the scan is narrower than the cluster (the
-    md5-per-token vote kernel otherwise runs on one core locally)."""
-    d = _widen(_docs(spark, sf_dir))
-    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-    # materialize the hash array ONCE per row: lambda expressions are
-    # not common-subexpression-eliminated across the 16 votes, so
-    # inlining `hs` would recompute md5 over every token 16×
+    md5-per-token vote kernel otherwise runs on one core locally).
+
+    r6 vote shape: ONE aggregate pass accumulating a 16-lane vote
+    array (zip_with), then a second tiny aggregate packs the sign bits
+    — votes are ±1 sums, so the result is bit-identical to the old 16
+    independent aggregate passes while the expression tree (and its
+    cold codegen/JIT bill) shrinks ~16×. Per-element test: md5 hex
+    chars are [0-9a-f], so "high nibble bit" ⟺ char >= '8'. Docs with
+    no tokens are excluded by a cheap text predicate (any nonspace
+    char ⟺ ≥1 non-empty token) instead of size(_hs) > 0, which
+    predicate pushdown would inline as a second full hash pass at the
+    scan."""
+    b = _SIMHASH_BITS
+    d = _widen(_docs(spark, sf_dir).where(F.col("text").rlike("[^ ]")))
     staged = d.select(
-        "doc_id", F.array_distinct(F.transform(toks, F.md5)).alias("_hs")
-    ).where(F.size("_hs") > 0)
-    high = {"8", "9", "a", "b", "c", "d", "e", "f"}
-    vote = lambda i: F.aggregate(  # noqa: E731
-        F.col("_hs"),
-        F.lit(0),
-        lambda acc, h: acc
-        + F.when(F.substring(h, i + 1, 1).isin(*high), 1).otherwise(-1),
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(filter(split(text, ' '), "
+            "t -> t != ''), t -> md5(t)))"
+        ).alias("_hs"),
     )
-    sim = None
-    for i in range(_SIMHASH_BITS):
-        term = F.when(vote(i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return staged.select("doc_id", sim.cast("long").alias("simhash"))
+    votes = staged.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(_hs, array_repeat(0, {b}), (acc, h) -> "
+            f"zip_with(acc, sequence(1, {b}), (a, j) -> "
+            f"a + if(substring(h, j, 1) >= '8', 1, -1)))"
+        ).alias("_v"),
+    )
+    return votes.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(zip_with(_v, sequence(0, {b - 1}), (v, i) -> "
+            f"if(v > 0, shiftleft(cast(1 as bigint), i), "
+            f"cast(0 as bigint))), cast(0 as bigint), (a, x) -> a + x)"
+        ).alias("simhash"),
+    )
 
 
 ORACLE_DEDUP_SIMHASH = f"""
@@ -5855,6 +5871,60 @@ FROM rk GROUP BY entity
 # ---------------------------------------------------------- registry
 
 QUERIES = {
+    # ---- r6 driver-window rotation (r5 verdict ask #5): the entries
+    # the driver's 50-slot correctness window had NEVER sampled (they
+    # were only judge-run / in-suite-verified) sort FIRST this round so
+    # CORRECTNESS_r05 ∪ CORRECTNESS_r06 covers every registry entry.
+    # Registry order affects nothing else: bench.py and entry() look
+    # up by name, and oracle fingerprints are keyed by name.
+    "web_link_edges": (web_link_edges, ORACLE_WEB_LINK_EDGES),
+    "web_domain_components": (
+        web_domain_components, ORACLE_WEB_DOMAIN_COMPONENTS,
+    ),
+    "web_host_hits": (web_host_hits, ORACLE_WEB_HOST_HITS),
+    "crawl_latest_capture": (
+        crawl_latest_capture, ORACLE_CRAWL_LATEST_CAPTURE,
+    ),
+    "crawl_change_rate": (crawl_change_rate, ORACLE_CRAWL_CHANGE_RATE),
+    "web_crawl_budget": (web_crawl_budget, ORACLE_WEB_CRAWL_BUDGET),
+    "kg_entity_host_affinity": (
+        kg_entity_host_affinity, ORACLE_KG_ENTITY_HOST_AFFINITY,
+    ),
+    "dedup_wordset": (dedup_wordset, ORACLE_DEDUP_WORDSET),
+    "quality_score": (quality_score, ORACLE_QUALITY_SCORE),
+    "dedup_minhash_sig": (dedup_minhash_sig, ORACLE_DEDUP_MINHASH_SIG),
+    "kg_linked_appears_in": (
+        kg_linked_appears_in, ORACLE_KG_LINKED_APPEARS_IN,
+    ),
+    "dedup_substring_apply": (
+        dedup_substring_apply, ORACLE_DEDUP_SUBSTRING_APPLY,
+    ),
+    "ann_ivf_recall": (ann_ivf_recall, ORACLE_ANN_RECALL),
+    "embed_neardup": (embed_neardup, ORACLE_EMBED_NEARDUP),
+    "doc_fingerprint": (doc_fingerprint, ORACLE_DOC_FINGERPRINT),
+    "lang_id": (lang_id, ORACLE_LANG_ID),
+    "text_stats": (text_stats, ORACLE_TEXT_STATS),
+    "bpe_vocab": (bpe_vocab, ORACLE_BPE_VOCAB),
+    "bpe_tokenize_stats": (bpe_tokenize_stats, ORACLE_BPE_TOKENIZE_STATS),
+    "media_decode": (media_decode, ORACLE_MEDIA_DECODE),
+    "events_retention": (events_retention, ORACLE_EVENTS_RETENTION),
+    "vocab_stats": (vocab_stats, ORACLE_VOCAB_STATS),
+    "kg_appears_in_salted": (kg_appears_in_salted, ORACLE_KG_APPEARS_IN),
+    "dedup_exact_assign": (dedup_exact_assign, ORACLE_DEDUP_EXACT_ASSIGN),
+    "ann_lsh_recall": (ann_lsh_recall, ORACLE_ANN_RECALL),
+    "embed_quantize_stats": (embed_quantize_stats, ORACLE_EMBED_QUANTIZE_STATS),
+    "token_count_bpe": (token_count_bpe, ORACLE_TOKEN_COUNT_BPE),
+    "winnow_fingerprint": (winnow_fingerprint, ORACLE_WINNOW_FINGERPRINT),
+    "gopher_quality": (gopher_quality, ORACLE_GOPHER_QUALITY),
+    "stratified_sample": (stratified_sample, ORACLE_STRATIFIED_SAMPLE),
+    "tpch_q1": (tpch_q1, ORACLE_TPCH_Q1),
+    "join_topn": (join_topn, ORACLE_JOIN_TOPN),
+    "anti_join": (anti_join, ORACLE_ANTI_JOIN),
+    "rollup_demo": (rollup_demo, ORACLE_ROLLUP_DEMO),
+    "pivot_demo": (pivot_demo, ORACLE_PIVOT_DEMO),
+    "percentiles_demo": (percentiles_demo, ORACLE_PERCENTILES_DEMO),    # ---- entries below were all driver-checked green in
+    # CORRECTNESS_r05; every entry (above and below) is additionally
+    # oracle-verified each run by tests/test_oracle_parity.py
     "kg_doc_nodes": (kg_doc_nodes, ORACLE_KG_DOC_NODES),
     "kg_has_parent": (kg_has_parent, ORACLE_KG_HAS_PARENT),
     "kg_mentions": (kg_mentions, ORACLE_KG_MENTIONS),
@@ -5916,53 +5986,5 @@ QUERIES = {
     "web_crawl_waves": (web_crawl_waves, ORACLE_WEB_CRAWL_WAVES),
     "kg_entity_timeline": (kg_entity_timeline, ORACLE_KG_ENTITY_TIMELINE),
     "kg_entity_trend": (kg_entity_trend, ORACLE_KG_ENTITY_TREND),
-    # ---- entries below sit past the driver's 50-slot correctness
-    # window (variants, gates, and generic demos); every one is still
-    # oracle-verified each run by tests/test_oracle_parity.py
-    "web_link_edges": (web_link_edges, ORACLE_WEB_LINK_EDGES),
-    "web_domain_components": (
-        web_domain_components, ORACLE_WEB_DOMAIN_COMPONENTS,
-    ),
-    "web_host_hits": (web_host_hits, ORACLE_WEB_HOST_HITS),
-    "crawl_latest_capture": (
-        crawl_latest_capture, ORACLE_CRAWL_LATEST_CAPTURE,
-    ),
-    "crawl_change_rate": (crawl_change_rate, ORACLE_CRAWL_CHANGE_RATE),
-    "web_crawl_budget": (web_crawl_budget, ORACLE_WEB_CRAWL_BUDGET),
-    "kg_entity_host_affinity": (
-        kg_entity_host_affinity, ORACLE_KG_ENTITY_HOST_AFFINITY,
-    ),
-    "dedup_wordset": (dedup_wordset, ORACLE_DEDUP_WORDSET),
-    "quality_score": (quality_score, ORACLE_QUALITY_SCORE),
-    "dedup_minhash_sig": (dedup_minhash_sig, ORACLE_DEDUP_MINHASH_SIG),
-    "kg_linked_appears_in": (
-        kg_linked_appears_in, ORACLE_KG_LINKED_APPEARS_IN,
-    ),
-    "dedup_substring_apply": (
-        dedup_substring_apply, ORACLE_DEDUP_SUBSTRING_APPLY,
-    ),
-    "ann_ivf_recall": (ann_ivf_recall, ORACLE_ANN_RECALL),
-    "embed_neardup": (embed_neardup, ORACLE_EMBED_NEARDUP),
-    "doc_fingerprint": (doc_fingerprint, ORACLE_DOC_FINGERPRINT),
-    "lang_id": (lang_id, ORACLE_LANG_ID),
-    "text_stats": (text_stats, ORACLE_TEXT_STATS),
-    "bpe_vocab": (bpe_vocab, ORACLE_BPE_VOCAB),
-    "bpe_tokenize_stats": (bpe_tokenize_stats, ORACLE_BPE_TOKENIZE_STATS),
-    "media_decode": (media_decode, ORACLE_MEDIA_DECODE),
-    "events_retention": (events_retention, ORACLE_EVENTS_RETENTION),
-    "vocab_stats": (vocab_stats, ORACLE_VOCAB_STATS),
-    "kg_appears_in_salted": (kg_appears_in_salted, ORACLE_KG_APPEARS_IN),
-    "dedup_exact_assign": (dedup_exact_assign, ORACLE_DEDUP_EXACT_ASSIGN),
-    "ann_lsh_recall": (ann_lsh_recall, ORACLE_ANN_RECALL),
-    "embed_quantize_stats": (embed_quantize_stats, ORACLE_EMBED_QUANTIZE_STATS),
-    "token_count_bpe": (token_count_bpe, ORACLE_TOKEN_COUNT_BPE),
-    "winnow_fingerprint": (winnow_fingerprint, ORACLE_WINNOW_FINGERPRINT),
-    "gopher_quality": (gopher_quality, ORACLE_GOPHER_QUALITY),
-    "stratified_sample": (stratified_sample, ORACLE_STRATIFIED_SAMPLE),
-    "tpch_q1": (tpch_q1, ORACLE_TPCH_Q1),
-    "join_topn": (join_topn, ORACLE_JOIN_TOPN),
-    "anti_join": (anti_join, ORACLE_ANTI_JOIN),
-    "rollup_demo": (rollup_demo, ORACLE_ROLLUP_DEMO),
-    "pivot_demo": (pivot_demo, ORACLE_PIVOT_DEMO),
-    "percentiles_demo": (percentiles_demo, ORACLE_PERCENTILES_DEMO),
 }
+
