@@ -874,14 +874,17 @@ def dedup_minhash_pairs(
     if persist_shingles:
         arrays = arrays.persist()
     # ONE corpus pass computes everything per doc (size, hashed shingle
-    # set, band keys), then a doc_id repartition materializes it: the
-    # three consumers (band explode, A-side attach, B-side attach) all
-    # read the SAME exchange output (ReusedExchange) instead of each
-    # re-scanning the text and re-running the shingle+hash kernels —
-    # 3 corpus passes → 1 pass + one hashed-proxy shuffle (~1% of text
-    # bytes), the guide-§8 "move heavy bytes once, decide on proxies"
-    # shape. Partition count comes from spark.sql.shuffle.partitions
-    # (conf-scaled, AQE-coalesced), not a local constant.
+    # set, band keys), materialized with a LAZY localCheckpoint so the
+    # three consumers (band explode, A-side attach, B-side attach) read
+    # the same bounded proxy table instead of each re-scanning the text
+    # and re-running the shingle/hash kernels — the guide-§8 "decide on
+    # proxies, move heavy bytes once" shape. A plain exchange cannot do
+    # this: column pruning specializes each consumer's subtree (bands
+    # vs sz/shh), the canonical plans diverge, and ReuseExchange never
+    # fires (the kg_entity_linking finding; measured: the repartition
+    # variant re-scans the corpus once per consumer). The checkpoint
+    # stores ~0.5 KB/doc of hashes — storage-bounded like the other
+    # checkpointed vocab tables, released with the DataFrame.
     staged = arrays.select(
         "doc_id",
         F.size("sh").alias("sz"),
@@ -901,7 +904,7 @@ def dedup_minhash_pairs(
                 band_keys([F.col(f"_m{s}") for s in range(_N_MINHASH)])
             )
         ],
-    ).repartition("doc_id")
+    ).localCheckpoint(eager=False)
     # in-row array_distinct: a doc whose band0 == band1 emits one row,
     # so (doc_id, band) is globally distinct with no dedup shuffle
     bands = per.select(
