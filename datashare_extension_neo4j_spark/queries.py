@@ -61,7 +61,13 @@ def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/customer.parquet")
 
 
-def _widen(df: DataFrame) -> DataFrame:
+# planning-metadata memo only (never query results): per-process cache
+# of "is this input narrower than the cluster" decisions, so repeated
+# constructions don't re-ask the filesystem
+_WIDEN_CACHE: dict = {}
+
+
+def _widen(df: DataFrame, path: str | None = None) -> DataFrame:
     """Scale-adaptive parallelism guard (guide §2.5, input skew): a
     small input (one parquet file → one scan split) serializes every
     downstream map stage on a single core, which matters for the
@@ -71,9 +77,31 @@ def _widen(df: DataFrame) -> DataFrame:
     defaultParallelism splits and this is a structural no-op — nothing
     is tuned to either mode. Round-robin is retry-safe
     (sortBeforeRepartition) and every consumer's result is
-    partitioning-independent."""
-    sc = df.sparkSession.sparkContext
-    n = sc.defaultParallelism
+    partitioning-independent.
+
+    With ``path`` the decision reads the input's byte size from the
+    (Hadoop) filesystem — ~10 ms, memoized per process — instead of
+    converting the plan to an RDD (~0.2 s of driver wall per query
+    construction). The split math mirrors Spark's: with
+    openCostInBytes = 4 MB the scan cannot reach ``n`` splits when the
+    input is under n × 4 MB, and reaches it comfortably above; the
+    band between is a no-widen (the scan is already within ~32× of
+    the cluster width). Without ``path`` (derived inputs) the exact
+    plan-derived partition count is used."""
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    if path is not None:
+        key = (path, n)
+        if key not in _WIDEN_CACHE:
+            try:
+                jvm = spark._jvm
+                p = jvm.org.apache.hadoop.fs.Path(path)
+                fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+                size = fs.getContentSummary(p).getLength()
+                _WIDEN_CACHE[key] = size < n * 4 * 1024 * 1024
+            except Exception:
+                _WIDEN_CACHE[key] = df.rdd.getNumPartitions() < n
+        return df.repartition(n) if _WIDEN_CACHE[key] else df
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df
@@ -130,7 +158,9 @@ def _mentions(
     explode + partial agg otherwise serializes on a narrow scan);
     plain stream consumers (kg_mentions) stay scan-shaped."""
     d = _docs(spark, sf_dir)
-    w = _words(_widen(d) if widen else d)
+    w = _words(
+        _widen(d, path=f"{sf_dir}/documents.parquet") if widen else d
+    )
     return (
         w.withColumn("category", _gazetteer_category())
         .where(F.col("category").isNotNull())
@@ -751,7 +781,8 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per array element: the exact O(tokens²) this round removes.
     d = (
         _widen(
-            _docs(spark, sf_dir).where(F.col("text").rlike("[^ ] [^ ]"))
+            _docs(spark, sf_dir).where(F.col("text").rlike("[^ ] [^ ]")),
+            path=f"{sf_dir}/documents.parquet",
         )
         .select("doc_id", F.split(F.col("text"), " ").alias("_tk"))
     )
@@ -1139,7 +1170,9 @@ _DECONTAM_N = 2  # registry entry: bigrams (the test corpus's tiny
 # width — exercised at n=13 in tests/test_extras.py on synthetic docs
 
 
-def _ngram_shingles(docs: DataFrame, n: int) -> DataFrame:
+def _ngram_shingles(
+    docs: DataFrame, n: int, path: str | None = None
+) -> DataFrame:
     """Distinct word n-gram shingles per doc as 64-bit hashes
     (xxhash64): at real n (13) the shingle STRINGS are ~100 bytes each
     and the broadcast eval set would balloon; the hashes keep it at
@@ -1152,7 +1185,9 @@ def _ngram_shingles(docs: DataFrame, n: int) -> DataFrame:
     the r5 O(tokens²) finding), and per-doc ``array_distinct`` over
     the hashed grams replaces the global ``.distinct()`` shuffle
     ((doc_id, hash) is globally distinct once distinct per doc)."""
-    t = _widen(docs).select("doc_id", F.split(F.col("text"), " ").alias("_tk"))
+    t = _widen(docs, path=path).select(
+        "doc_id", F.split(F.col("text"), " ").alias("_tk")
+    )
     tk = F.col("_tk")
     grams = F.when(
         F.size(tk) >= n,
@@ -1190,7 +1225,9 @@ def decontaminate_ngram(
     make an any-overlap flag vacuous. (The oracle counts distinct
     shingle strings; hashed counts match it absent a 64-bit collision
     — odds ~1e-10 at 10^5 distinct shingles.)"""
-    sh = _ngram_shingles(_docs(spark, sf_dir), n)
+    sh = _ngram_shingles(
+        _docs(spark, sf_dir), n, path=f"{sf_dir}/documents.parquet"
+    )
     bench = (
         sh.where(F.col("doc_id") % _EVAL_MOD == 0).select("shingle").distinct()
     )
@@ -2743,7 +2780,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate pushdown would inline as a second full hash pass at the
     scan."""
     b = _SIMHASH_BITS
-    d = _widen(_docs(spark, sf_dir).where(F.col("text").rlike("[^ ]")))
+    d = _widen(
+        _docs(spark, sf_dir).where(F.col("text").rlike("[^ ]")),
+        path=f"{sf_dir}/documents.parquet",
+    )
     staged = d.select(
         "doc_id",
         F.expr(
@@ -3455,7 +3495,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     products don't serialize on a single narrow scan split."""
     from .operators.similarity import cosine_topk
 
-    e = _widen(_emb(spark, sf_dir))
+    e = _widen(_emb(spark, sf_dir), path=f"{sf_dir}/embeddings.parquet")
     q = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
