@@ -58,6 +58,13 @@ def get_spark(
         .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         # single-box file:// splits carry no locality — never wait
         .config("spark.locality.wait", "0s")
+        # skip per-API-call Python stack inspection (call-site capture
+        # for error messages): pyspark documents it as a performance
+        # option, and it costs ~0.5 s of importlib on first use plus a
+        # stack walk on EVERY DataFrame method — pure driver overhead
+        # for a non-interactive engine (errors still carry the full
+        # traceback, just not the user-code fragment annotation)
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
