@@ -72,9 +72,32 @@ def build_graph(
     # defaultParallelism splits and this is a no-op — no constant
     # tuned to either mode. Round-robin repartition is retry-safe
     # (sortBeforeRepartition) and the pipeline's output is
-    # partitioning-independent (per-doc aggregation keys).
-    target = pages.sparkSession.sparkContext.defaultParallelism
-    if pages.rdd.getNumPartitions() < target:
+    # partitioning-independent (per-doc aggregation keys). The probe
+    # reads input file sizes (early-exit once past the threshold,
+    # ~ms) rather than converting the plan to an RDD (~0.25 s of
+    # driver wall); non-file sources fall back to the exact
+    # plan-derived partition count.
+    spark = pages.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    threshold = target * 4 * 1024 * 1024  # openCostInBytes floor
+    narrow = None
+    try:
+        files = pages.inputFiles()
+        if files:
+            jvm = spark._jvm
+            conf = spark._jsc.hadoopConfiguration()
+            total = 0
+            for f in files:
+                p = jvm.org.apache.hadoop.fs.Path(f)
+                total += p.getFileSystem(conf).getFileStatus(p).getLen()
+                if total >= threshold:
+                    break
+            narrow = total < threshold
+    except Exception:
+        narrow = None
+    if narrow is None:
+        narrow = pages.rdd.getNumPartitions() < target
+    if narrow:
         pages = pages.repartition(target)
     if fuse_ner:
         # scale path: NER fused into the parse pass (one scan over the
